@@ -1,0 +1,202 @@
+"""Raw dataset IO.
+
+Covers the reference's dataset families without any torch/PyG dependency:
+
+- SEAL ``edges.txt`` lists with node-id remapping
+  (reference: data_utils.py:76-93 ``read_edges``/``read_label``)
+- WalkPool ``.mat`` files, splitted and unsplitted
+  (reference: data_utils.py:16-72)
+- Planetoid raw pickles (Cora/CiteSeer/Pubmed), replacing the PyG
+  ``Planetoid`` dataset class used at sgrl_link_pred.py:849-855.
+
+All loaders return :class:`~s3grl_tpu.data.graph.Graph` (plus split edges for
+pre-split data).
+"""
+from __future__ import annotations
+
+import os
+import pickle
+import sys
+from typing import Optional
+
+import numpy as np
+
+from s3grl_tpu.data.graph import Graph, normalize_features, to_undirected
+
+SEAL_TXT_DATASETS = (
+    "USAir", "NS", "Power", "Celegans", "Router", "PB", "Ecoli", "Yeast",
+    "facebook", "email", "celegans_small",
+)
+PLANETOID_DATASETS = ("Cora", "CiteSeer", "Pubmed")
+
+
+def read_label(seal_ds_path: str) -> dict[str, int]:
+    """Sorted-string node-id remapping (reference: data_utils.py:86-93)."""
+    nodes: list[str] = []
+    with open(os.path.join(seal_ds_path, "edges.txt")) as ef:
+        for line in ef.readlines():
+            nodes.extend(line.strip().split()[:2])
+    nodes = sorted(set(nodes))
+    return {old_id: new_id for new_id, old_id in enumerate(nodes)}
+
+
+def read_edges(seal_ds_path: str, node_id_mapping: dict[str, int]) -> np.ndarray:
+    """Edge list under the remapping (reference: data_utils.py:76-84)."""
+    edges = []
+    with open(os.path.join(seal_ds_path, "edges.txt")) as f:
+        for line in f.readlines():
+            node1, node2 = line.strip().split()[:2]
+            edges.append([node_id_mapping[node1], node_id_mapping[node2]])
+    return np.asarray(edges, dtype=np.int32).T  # [2, E]
+
+
+def load_seal_txt(data_root: str, name: str) -> Graph:
+    """Load a SEAL .txt dataset (reference: sgrl_link_pred.py:859-895)."""
+    path = os.path.join(data_root, "link_prediction", name.lower())
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"SEAL dataset path not found: {path}")
+    mapping = read_label(path)
+    edge_index = read_edges(path, mapping)
+    edge_index = to_undirected(edge_index)
+    num_nodes = int(edge_index.max()) + 1
+    return Graph(num_nodes=num_nodes, edge_index=edge_index)
+
+
+def _parse_index_file(path: str) -> np.ndarray:
+    with open(path) as f:
+        return np.asarray([int(line.strip()) for line in f], dtype=np.int64)
+
+
+def load_planetoid(data_root: str, name: str, normalize: bool = True) -> Graph:
+    """Load Cora/CiteSeer/Pubmed from the standard ``ind.*`` raw pickles.
+
+    Replaces PyG ``Planetoid`` + ``NormalizeFeatures``
+    (reference: sgrl_link_pred.py:849-855). Follows the canonical Planetoid
+    assembly: x/tx/allx stacked with the test split reordered by
+    ``test.index`` (and CiteSeer's isolated test nodes zero-filled).
+    """
+    lname = name.lower()
+    raw = os.path.join(data_root, lname, "raw")
+    objs = {}
+    for ext in ("x", "tx", "allx", "graph"):
+        fp = os.path.join(raw, f"ind.{lname}.{ext}")
+        with open(fp, "rb") as f:
+            if sys.version_info > (3, 0):
+                objs[ext] = pickle.load(f, encoding="latin1")
+            else:  # pragma: no cover
+                objs[ext] = pickle.load(f)
+    test_idx = _parse_index_file(os.path.join(raw, f"ind.{lname}.test.index"))
+
+    x = np.asarray(objs["x"].todense(), dtype=np.float32)
+    tx = np.asarray(objs["tx"].todense(), dtype=np.float32)
+    allx = np.asarray(objs["allx"].todense(), dtype=np.float32)
+
+    # Canonical Planetoid assembly (Kipf/Welling gcn utils / PyG read_planetoid):
+    # stack allx+tx, then permute the test rows into their true node slots.
+    test_idx_reorder = test_idx
+    test_idx_range = np.sort(test_idx_reorder)
+    if lname == "citeseer":
+        # CiteSeer has isolated test nodes missing from tx; zero-fill them so
+        # the id range [min, max] of test indices is contiguous.
+        full = np.arange(test_idx_range[0], test_idx_range[-1] + 1)
+        tx_ext = np.zeros((len(full), tx.shape[1]), dtype=np.float32)
+        tx_ext[test_idx_range - test_idx_range[0]] = tx
+        tx = tx_ext
+
+    features = np.vstack([allx, tx])
+    features[test_idx_reorder] = features[test_idx_range]
+
+    graph = objs["graph"]
+    rows, cols = [], []
+    for src, nbrs in graph.items():
+        for dst in nbrs:
+            rows.append(src)
+            cols.append(dst)
+    edge_index = np.asarray([rows, cols], dtype=np.int32)
+    edge_index = to_undirected(edge_index)
+    # Drop self loops (PyG Planetoid keeps the graph as-is but the standard
+    # pickle contains a handful of self-edges; PyG removes duplicates only).
+    num_nodes = features.shape[0]
+    if normalize:
+        features = normalize_features(features)
+    return Graph(num_nodes=num_nodes, edge_index=edge_index, x=features)
+
+
+def load_mat_unsplitted(data_root: str, name: str) -> Graph:
+    """Load an unsplitted .mat adjacency (reference: data_utils.py:60-72)."""
+    import scipy.io as sio
+
+    net = sio.loadmat(os.path.join(data_root, f"{name}.mat"))
+    A = net["net"].tocoo()
+    edge_index = np.stack([A.row, A.col]).astype(np.int32)
+    edge_index = to_undirected(edge_index)
+    num_nodes = int(edge_index.max()) + 1
+    x = None
+    if "group" in net:
+        try:
+            x = np.asarray(net["group"].todense(), dtype=np.float32)
+        except AttributeError:
+            x = np.asarray(net["group"], dtype=np.float32)
+    return Graph(num_nodes=num_nodes, edge_index=edge_index, x=x)
+
+
+def load_mat_splitted(
+    data_root: str,
+    name: str,
+    data_split_num: int,
+    test_ratio: float,
+    val_ratio: float,
+    rng: np.random.Generator,
+):
+    """Load a pre-split WalkPool .mat (reference: data_utils.py:16-58).
+
+    Returns (Graph over train positives, split dict of [2, E] arrays).
+    The stored train positives are re-split into train/val with ``val_ratio``
+    using the provided seeded RNG (reference shuffles with np.random).
+    """
+    import scipy.io as sio
+
+    fname = f"{name}_split_{data_split_num}"
+    sub = "splitted_0_5" if test_ratio == 0.5 else "splitted"
+    net = sio.loadmat(os.path.join(data_root, sub, f"{fname}.mat"))
+
+    def arr(k):
+        return np.int64(net[k])  # [E, 2]
+
+    train_pos, train_neg = arr("train_pos"), arr("train_neg")
+    test_pos, test_neg = arr("test_pos"), arr("test_neg")
+
+    n_pos = int(val_ratio * len(train_pos))
+    perm = rng.permutation(len(train_pos))
+    val_pos, train_pos = train_pos[perm[:n_pos]], train_pos[perm[n_pos:]]
+    n_neg = int(val_ratio * len(train_neg))
+    perm = rng.permutation(len(train_neg))
+    val_neg, train_neg = train_neg[perm[:n_neg]], train_neg[perm[n_neg:]]
+
+    split = {
+        "train": {"edge": train_pos.T, "edge_neg": train_neg.T},
+        "valid": {"edge": val_pos.T, "edge_neg": val_neg.T},
+        "test": {"edge": test_pos.T, "edge_neg": test_neg.T},
+    }
+    num_nodes = 1 + max(
+        int(a.max()) for a in (train_pos, test_pos, val_pos) if len(a)
+    )
+    edge_index = to_undirected(train_pos.T.astype(np.int32))
+    g = Graph(num_nodes=num_nodes, edge_index=edge_index)
+    return g, split
+
+
+def load_dataset(
+    name: str, data_root: str = "/root/reference/data", normalize: bool = True
+) -> Graph:
+    """Dataset dispatch by family (reference: sgrl_link_pred.py:826-927)."""
+    if name in PLANETOID_DATASETS:
+        return load_planetoid(data_root, name, normalize=normalize)
+    if name in SEAL_TXT_DATASETS or name.lower() in [
+        d.lower() for d in SEAL_TXT_DATASETS
+    ]:
+        return load_seal_txt(data_root, name)
+    mat_path = os.path.join(data_root, f"{name}.mat")
+    if os.path.exists(mat_path):
+        return load_mat_unsplitted(data_root, name)
+    raise NotImplementedError(f"dataset {name} is not yet supported.")

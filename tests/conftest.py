@@ -1,0 +1,15 @@
+"""Test config: run JAX on a virtual 8-device CPU mesh.
+
+This is the TPU-world "fake backend" (SURVEY.md §4): multi-chip sharding logic
+is exercised with XLA_FLAGS=--xla_force_host_platform_device_count=8 so tests
+don't need TPU hardware and are deterministic.
+"""
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
