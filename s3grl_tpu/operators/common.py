@@ -1,0 +1,84 @@
+"""Shared containers for precomputed diffusion-operator datasets."""
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass
+class OperatorDataset:
+    """Precomputed SIGN-style per-link operator features.
+
+    The static-shape analog of the reference's list of PyG ``Data`` objects
+    with keys x, x1..xK (tuned_SIGN.py:173-185): every link stores R rows
+    (2 targets + optional CCN rows) for each of the K+1 operators.
+
+    xs:       [L, K+1, R, F'] float  (op 0 = raw trimmed x, ops 1..K = A^k X)
+    row_mask: [L, R] bool            (False on padded CCN slots)
+    y:        [L] float              labels
+    """
+
+    xs: np.ndarray
+    row_mask: np.ndarray
+    y: np.ndarray
+
+    @property
+    def num_links(self) -> int:
+        return int(self.xs.shape[0])
+
+    @property
+    def num_operators(self) -> int:
+        return int(self.xs.shape[1])
+
+    @property
+    def num_rows(self) -> int:
+        return int(self.xs.shape[2])
+
+    @property
+    def feature_dim(self) -> int:
+        return int(self.xs.shape[3])
+
+    def model_inputs(self, sign_k: int, last_only: bool = False):
+        """Concatenate operators feature-wise for SIGNNet consumption.
+
+        Mirrors the train-loop assembly (sgrl_link_pred.py:449-459):
+        xs = [x, x1..xK] concat along features, or only x{K} if
+        ``last_only`` (sign_k == -1 mode, tuned_SIGN.py:18-23).
+        Returns [L, R, n_ops * F'].
+        """
+        if last_only:
+            ops = self.xs[:, -1:]
+        else:
+            ops = self.xs[:, : sign_k + 1]
+        L, O, R, F = ops.shape
+        return np.transpose(ops, (0, 2, 1, 3)).reshape(L, R, O * F)
+
+    def concat(self, other: "OperatorDataset") -> "OperatorDataset":
+        return OperatorDataset(
+            xs=np.concatenate([self.xs, other.xs], axis=0),
+            row_mask=np.concatenate([self.row_mask, other.row_mask], axis=0),
+            y=np.concatenate([self.y, other.y], axis=0),
+        )
+
+    def hybrid_with(self, sop: "OperatorDataset") -> "OperatorDataset":
+        """Hybrid PoS+SoP: append SoP operators x2..xK as x{K+1}..x{2K-1}
+        (reference: utils.py:476-477, data[f'x{k}'] = sop x{k - K + 1}).
+        Requires equal R (vanilla PoS, R=2)."""
+        assert self.num_links == sop.num_links
+        assert self.num_rows == sop.num_rows, "hybrid requires vanilla PoS (R=2)"
+        extra = sop.xs[:, 2:]
+        f = max(self.feature_dim, sop.feature_dim)
+
+        def pad(a):
+            if a.shape[-1] == f:
+                return a
+            out = np.zeros(a.shape[:-1] + (f,), dtype=a.dtype)
+            out[..., : a.shape[-1]] = a
+            return out
+
+        return OperatorDataset(
+            xs=np.concatenate([pad(self.xs), pad(extra)], axis=1),
+            row_mask=self.row_mask,
+            y=self.y,
+        )

@@ -1,0 +1,260 @@
+"""PoS (Powers of Subgraph) operator precompute — batched, MXU-resident.
+
+Reference semantics (`OptimizedSignOperations.get_PoS_prepped_ds` /
+``get_PoS_Plus_prepped_ds``, tuned_SIGN.py:137-262), redesigned TPU-first:
+
+The reference loops links in Python, builds a scipy subgraph, sym-normalizes,
+takes K sparse powers, slices target(+CCN) rows and multiplies by features.
+Here a whole link batch is processed in one jitted program:
+
+1. batched padded extraction (:mod:`s3grl_tpu.sampling.extraction`);
+2. batched sym-normalization of the dense [B, S, S] sub-adjacencies;
+3. selected-row propagation — instead of materializing A^k [S, S], the
+   selector matrix E [B, R, S] (rows = targets + CCN) is propagated:
+   ``R_k = R_{k-1} @ Â`` so ``R_k = E Â^k`` and ``x_k = R_k @ X`` — an
+   O(R·S²) batched matmul chain on the MXU instead of O(S³) powers
+   (numerically identical to A^k row-slicing, tuned_SIGN.py:168-175);
+4. the indicator column prepend (x_a, tuned_SIGN.py:177-179) and CCN
+   union/intersection selection (tuned_SIGN.py:229-238) are vectorized masks.
+
+Per-batch subgraph-size bucketing keeps shapes static per bucket so XLA
+compiles once per bucket, not per link.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from s3grl_tpu.operators.common import OperatorDataset
+from s3grl_tpu.sampling.extraction import (
+    DeviceGraph,
+    SubgraphBatch,
+    extract_subgraphs,
+    pick_bucket,
+    sym_normalize,
+)
+
+
+@functools.partial(jax.jit, static_argnames=("sign_k", "max_ccn", "strategy"))
+def pos_operators(
+    sub: SubgraphBatch,
+    x_global: jax.Array,  # [N, F]
+    *,
+    sign_k: int,
+    max_ccn: int = 0,
+    strategy: str = "",
+) -> tuple[jax.Array, jax.Array]:
+    """Compute PoS(+) operator features for one extracted batch.
+
+    Returns (xs [B, K+1, R, F+1], row_mask [B, R]) with R = 2 + max_ccn.
+    """
+    B, S = sub.nodes.shape
+    b_idx = jnp.arange(B)
+
+    # Features of subgraph nodes, zeroed on padding.
+    x_sub = x_global[sub.nodes] * sub.node_mask[:, :, None]  # [B, S, F]
+    # Indicator column: 1 on target slots 0/1 (tuned_SIGN.py:177 x_a).
+    ind = jnp.zeros((B, S, 1)).at[:, :2, :].set(1.0)
+    subg_x = jnp.concatenate([ind, x_sub], axis=-1)  # [B, S, F+1]
+
+    adj_n = sym_normalize(sub.adj)
+
+    # --- selected rows ---
+    R = 2 + max_ccn
+    sel_idx = jnp.zeros((B, R), dtype=jnp.int32)
+    sel_idx = sel_idx.at[:, 0].set(0)
+    sel_idx = sel_idx.at[:, 1].set(1)
+    row_mask = jnp.zeros((B, R), dtype=bool).at[:, :2].set(True)
+
+    if max_ccn > 0:
+        # CCN node set: 1-hop neighbors of targets in the (target-removed)
+        # subgraph, union or intersection (tuned_SIGN.py:229-236).
+        nbr0 = sub.adj[:, 0, :] > 0
+        nbr1 = sub.adj[:, 1, :] > 0
+        if strategy == "union":
+            ccn = nbr0 | nbr1
+        elif strategy == "intersection":
+            ccn = nbr0 & nbr1
+        else:
+            raise NotImplementedError(f"check strat {strategy}")
+        ccn = ccn & sub.node_mask
+        ccn = ccn.at[:, :2].set(False)
+        # keep the max_ccn lowest local slots (closest hops first)
+        key = jnp.where(ccn, jnp.arange(S, dtype=jnp.int32)[None, :], S + 1)
+        neg, idx = jax.lax.top_k(-key, max_ccn)
+        ccn_idx = idx.astype(jnp.int32)
+        ccn_valid = (-neg) <= S
+        sel_idx = sel_idx.at[:, 2:].set(jnp.where(ccn_valid, ccn_idx, 0))
+        row_mask = row_mask.at[:, 2:].set(ccn_valid)
+
+    # E [B, R, S]: one-hot selector of chosen rows (zero rows where invalid).
+    E = jax.nn.one_hot(sel_idx, S, dtype=jnp.float32) * row_mask[:, :, None]
+
+    # x (op 0) = subg_x at selected rows (tuned_SIGN.py:181 trimmed_x).
+    x0 = subg_x[b_idx[:, None], sel_idx] * row_mask[:, :, None]
+
+    # Propagate the selector through the power chain: R_k = E Â^k.
+    # precision=HIGHEST keeps f32 numerics on the MXU (TPU matmul defaults to
+    # bf16 inputs, which breaks allclose parity with the f32 reference).
+    ops = [x0]
+    r_cur = E
+    for _ in range(sign_k):
+        r_cur = jnp.einsum(
+            "brs,bst->brt",
+            r_cur,
+            adj_n,
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        ops.append(
+            jnp.einsum(
+                "brs,bsf->brf",
+                r_cur,
+                subg_x,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        )
+
+    xs = jnp.stack(ops, axis=1)  # [B, K+1, R, F+1]
+    return xs, row_mask
+
+
+def precompute_pos(
+    dg: DeviceGraph,
+    links: np.ndarray,  # [L, 2]
+    y: np.ndarray,  # [L]
+    *,
+    num_hops: int,
+    sign_k: int,
+    k_heuristic: int = 0,
+    k_node_set_strategy: str = "",
+    max_ccn: int = 0,
+    ratio_per_hop: float = 1.0,
+    max_nodes_per_hop: Optional[int] = None,
+    buckets=(32, 64, 128, 256, 512, 1024),
+    batch_size: int = 256,
+    max_subgraph_nodes: int = 1024,
+    seed: int = 0,
+    size_oracle=None,
+) -> OperatorDataset:
+    """Host driver: bucket links by subgraph size, run the jitted pipeline.
+
+    ``size_oracle`` optionally supplies per-link subgraph sizes (e.g. from a
+    prior sizing pass); otherwise a cheap BFS sizing pass runs first so links
+    are grouped into shape buckets (less padding waste, fewer recompiles).
+    """
+    assert dg.x is not None, "PoS requires node features (reference parity)"
+    L = links.shape[0]
+    links = np.asarray(links, dtype=np.int32)
+    use_ccn = k_heuristic > 0
+    if use_ccn and max_ccn <= 0:
+        max_ccn = 16
+    eff_ccn = max_ccn if use_ccn else 0
+
+    buckets = [
+        b
+        for b in sorted(set(list(buckets) + [max_subgraph_nodes]))
+        if b <= max_subgraph_nodes
+    ]
+
+    link_seeds = (np.int64(seed) * 1_000_003 + np.arange(L)).astype(np.int32)
+
+    sizes = size_oracle
+    if sizes is None:
+        sizes = measure_subgraph_sizes(
+            dg, links, link_seeds, num_hops=num_hops, ratio_per_hop=ratio_per_hop,
+            max_nodes_per_hop=max_nodes_per_hop, batch_size=max(batch_size, 512),
+        )
+
+    order = np.argsort(sizes, kind="stable")
+    F = int(dg.x.shape[1])
+    xs_out = np.empty((L, sign_k + 1, 2 + eff_ccn, F + 1), dtype=np.float32)
+    mask_out = np.empty((L, 2 + eff_ccn), dtype=bool)
+
+    # Links grouped by size bucket; per-bucket batch size bounded so the
+    # [B, S, F] feature gather and [B, S, S] adjacency stay within budget.
+    ELEM_BUDGET = 48_000_000  # f32 elements (~192 MB) per transient tensor
+    bucket_of = np.array([pick_bucket(int(s), buckets) for s in sizes[order]])
+    for bucket in np.unique(bucket_of):
+        idx_all = order[bucket_of == bucket]
+        per_link = max(int(bucket) * (F + 1), int(bucket) * int(bucket))
+        bsz_cap = max(8, min(batch_size, ELEM_BUDGET // per_link))
+        for start in range(0, len(idx_all), bsz_cap):
+            idx = idx_all[start : start + bsz_cap]
+            bsz = len(idx)
+            lb = links[idx]
+            ls = link_seeds[idx]
+            if bsz < bsz_cap:  # pad batch to static size
+                lb = np.concatenate([lb, np.tile(lb[-1:], (bsz_cap - bsz, 1))])
+                ls = np.concatenate([ls, np.tile(ls[-1:], bsz_cap - bsz)])
+            sub = extract_subgraphs(
+                dg,
+                jnp.asarray(lb),
+                num_hops=num_hops,
+                max_nodes=int(bucket),
+                ratio_per_hop=ratio_per_hop,
+                max_nodes_per_hop=max_nodes_per_hop,
+                link_seeds=jnp.asarray(ls),
+            )
+            xs, row_mask = pos_operators(
+                sub,
+                dg.x,
+                sign_k=sign_k,
+                max_ccn=eff_ccn,
+                strategy=k_node_set_strategy,
+            )
+            xs_out[idx] = np.asarray(xs)[:bsz]
+            mask_out[idx] = np.asarray(row_mask)[:bsz]
+
+    return OperatorDataset(
+        xs=xs_out, row_mask=mask_out, y=np.asarray(y, dtype=np.float32)
+    )
+
+
+def measure_subgraph_sizes(
+    dg: DeviceGraph,
+    links: np.ndarray,
+    link_seeds: Optional[np.ndarray] = None,
+    *,
+    num_hops: int,
+    ratio_per_hop: float = 1.0,
+    max_nodes_per_hop: Optional[int] = None,
+    batch_size: int = 512,
+) -> np.ndarray:
+    """Sizing pass: BFS only, returns per-link subgraph node counts [L]."""
+    from s3grl_tpu.sampling.extraction import _UNREACHED, _bfs_distances
+
+    @functools.partial(
+        jax.jit, static_argnames=("num_hops", "ratio_per_hop", "max_nodes_per_hop")
+    )
+    def _sizes(links_b, seeds_b, num_hops, ratio_per_hop, max_nodes_per_hop):
+        dist = _bfs_distances(
+            dg, links_b, num_hops, ratio_per_hop, max_nodes_per_hop, seeds_b
+        )
+        return (dist != _UNREACHED).sum(axis=1).astype(jnp.int32)
+
+    L = links.shape[0]
+    if link_seeds is None:
+        link_seeds = np.arange(L, dtype=np.int32)
+    out = np.empty(L, dtype=np.int32)
+    for start in range(0, L, batch_size):
+        lb = links[start : start + batch_size]
+        ls = link_seeds[start : start + batch_size]
+        bsz = len(lb)
+        if bsz < batch_size:
+            lb = np.concatenate([lb, np.tile(lb[-1:], (batch_size - bsz, 1))])
+            ls = np.concatenate([ls, np.tile(ls[-1:], batch_size - bsz)])
+        s = _sizes(
+            jnp.asarray(lb, dtype=jnp.int32),
+            jnp.asarray(ls, dtype=jnp.int32),
+            num_hops,
+            ratio_per_hop,
+            max_nodes_per_hop,
+        )
+        out[start : start + bsz] = np.asarray(s)[:bsz]
+    return out

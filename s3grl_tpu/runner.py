@@ -1,0 +1,178 @@
+"""End-to-end run orchestration.
+
+The TPU-native equivalent of ``run_sgrl_learning`` (sgrl_link_pred.py:791-1466):
+dataset load -> seeded edge split -> feature init -> operator precompute
+(PoS / PoS+ / SoP / hybrid) -> SIGNNet training -> highest-valid test metric.
+
+Returns the reference's result tuple shape:
+(total_prep_time, best_test_score, train_times, inference_times, total_params).
+"""
+from __future__ import annotations
+
+import time
+from typing import Optional, Tuple
+
+import numpy as np
+
+from s3grl_tpu.config import RunConfig
+from s3grl_tpu.data.features import init_features
+from s3grl_tpu.data.graph import Graph
+from s3grl_tpu.data.io import load_dataset
+from s3grl_tpu.data.split import EdgeSplit, do_edge_split, get_pos_neg_edges
+from s3grl_tpu.operators.common import OperatorDataset
+from s3grl_tpu.operators.pos import precompute_pos
+from s3grl_tpu.operators.sop import precompute_sop
+from s3grl_tpu.sampling.extraction import DeviceGraph
+from s3grl_tpu.train.logger import Logger
+from s3grl_tpu.train.loop import fit_signnet
+from s3grl_tpu.train.metrics import evaluate_auc
+from s3grl_tpu.utils.seeding import seed_everything
+
+
+def build_split_links(
+    split: str, edge_split: EdgeSplit, percent: float, rng
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(links [L, 2], y [L]) for one split: positives then negatives
+    (SEALDataset.process ordering, sgrl_link_pred.py:193-204)."""
+    pos, neg = get_pos_neg_edges(split, edge_split, percent=percent, rng=rng)
+    links = np.concatenate([pos, neg], axis=0)
+    y = np.concatenate([np.ones(len(pos)), np.zeros(len(neg))])
+    return links, y
+
+
+def precompute_split(
+    dg: DeviceGraph,
+    links: np.ndarray,
+    y: np.ndarray,
+    cfg: RunConfig,
+) -> OperatorDataset:
+    """Dispatch the operator flow for one split (utils.py:446-496 routing)."""
+    sign_type = cfg.sign_type
+    common_pos = dict(
+        num_hops=cfg.num_hops,
+        sign_k=cfg.sign_k,
+        ratio_per_hop=cfg.ratio_per_hop,
+        max_nodes_per_hop=cfg.max_nodes_per_hop,
+        buckets=tuple(cfg.subgraph_buckets),
+        batch_size=cfg.extract_batch_size,
+        max_subgraph_nodes=cfg.max_subgraph_nodes,
+        seed=cfg.seed,
+    )
+    if sign_type == "PoS":
+        if cfg.k_heuristic:
+            return precompute_pos(
+                dg,
+                links,
+                y,
+                k_heuristic=cfg.k_heuristic,
+                k_node_set_strategy=cfg.k_node_set_strategy,
+                max_ccn=cfg.max_ccn_nodes,
+                **common_pos,
+            )
+        return precompute_pos(dg, links, y, **common_pos)
+    if sign_type == "SoP":
+        return precompute_sop(dg, links, y, sign_k=cfg.sign_k)
+    if sign_type == "hybrid":
+        pos_ds = precompute_pos(dg, links, y, **common_pos)
+        if cfg.sign_k == 1:
+            return pos_ds
+        sop_ds = precompute_sop(dg, links, y, sign_k=cfg.sign_k)
+        return pos_ds.hybrid_with(sop_ds)
+    raise NotImplementedError(f"sign_type {sign_type}")
+
+
+def run_sgrl_learning(
+    cfg: RunConfig,
+    graph: Optional[Graph] = None,
+    edge_split: Optional[EdgeSplit] = None,
+):
+    """One seeded end-to-end run. Returns the reference's tuple
+    (prep_time, best_test, train_times, inference_times, total_params)."""
+    cfg.validate()
+    rng, _ = seed_everything(cfg.seed)
+
+    if graph is None:
+        full = load_dataset(cfg.dataset, cfg.data_root)
+        graph, edge_split = do_edge_split(
+            full,
+            val_ratio=cfg.split_val_ratio,
+            test_ratio=cfg.split_test_ratio,
+            neg_ratio=cfg.neg_ratio,
+            rng=rng,
+        )
+
+    t_prep0 = time.perf_counter()
+    graph = init_features(
+        graph, cfg.init_features, n2v_dim=cfg.n2v_dim, seed=cfg.seed,
+        epochs=cfg.epochs,
+    )
+    if cfg.init_representation:
+        from s3grl_tpu.models.init_representation import pretrain_representation
+
+        graph = pretrain_representation(graph, edge_split, cfg)
+
+    if cfg.use_heuristic:
+        from s3grl_tpu.heuristics import run_heuristic
+
+        return run_heuristic(graph, edge_split, cfg)
+
+    if cfg.model != "SIGN":
+        from s3grl_tpu.train.gnn_loop import run_gnn_learning
+
+        return run_gnn_learning(graph, edge_split, cfg, rng)
+
+    dg = DeviceGraph.from_graph(graph)
+
+    datasets = {}
+    for split, percent in (
+        ("train", cfg.train_percent),
+        ("valid", cfg.val_percent),
+        ("test", cfg.test_percent),
+    ):
+        links, y = build_split_links(split, edge_split, percent, rng)
+        datasets[split] = precompute_split(dg, links, y, cfg)
+    total_prep_time = time.perf_counter() - t_prep0
+
+    num_layers = cfg.sign_k
+    if cfg.sign_type == "hybrid":
+        num_layers = cfg.sign_k * 2 - 1
+
+    logger = {"AUC": Logger(cfg.runs), "AP": Logger(cfg.runs)}
+
+    seed_everything(cfg.seed)  # reset rng for model weights (reference :1280)
+    fit = fit_signnet(
+        datasets["train"],
+        datasets["valid"],
+        datasets["test"],
+        sign_k=num_layers,
+        hidden_channels=cfg.hidden_channels,
+        num_layers=num_layers,
+        batch_size=cfg.batch_size,
+        lr=cfg.lr,
+        epochs=cfg.epochs,
+        dropout=cfg.dropout,
+        k_heuristic=cfg.k_heuristic,
+        k_pool_strategy=cfg.k_pool_strategy,
+        pool_operatorwise=cfg.pool_operatorwise,
+        last_only=cfg.sign_k == -1,
+        seed=cfg.seed,
+        eval_steps=cfg.eval_steps,
+        eval_fn=evaluate_auc,
+    )
+
+    for results, _tinf in fit.results_per_epoch:
+        for key, result in results.items():
+            logger[key].add_result(0, result)
+
+    best_scores = []
+    for key in logger:
+        logger[key].add_info(cfg.epochs, cfg.runs)
+        best_scores.append(logger[key].print_statistics())
+
+    return (
+        total_prep_time,
+        best_scores[0],
+        fit.train_times,
+        fit.inference_times,
+        fit.num_params,
+    )

@@ -1,0 +1,261 @@
+"""Batched enclosing-subgraph extraction.
+
+TPU-native replacement for the reference's per-link scipy BFS
+(``k_hop_subgraph``, utils.py:47-85): instead of Python sets and CSR fancy
+indexing per link, a whole *batch* of links is expanded at once with
+vectorized frontier propagation over the edge list, then padded node sets and
+dense padded sub-adjacencies are materialized with static shapes so XLA can
+fuse the downstream diffusion matmuls onto the MXU.
+
+Semantics preserved from the reference:
+- fringe expansion from {src, dst} for ``num_hops`` hops (utils.py:52-74);
+- optional per-hop down-sampling ``ratio_per_hop`` / cap ``max_nodes_per_hop``
+  (utils.py:66-70), realized as random-priority top-k per hop;
+- node ordering [src, dst, hop-1 nodes, hop-2 nodes, ...] (utils.py:73);
+- target-link removal A[0,1] = A[1,0] = 0 (utils.py:78-80).
+
+Deviations (documented): node order within a hop is by node id (the reference
+iterates a Python set — order is unspecified there); subgraphs larger than the
+static pad ``max_nodes`` keep closest-hop nodes first and drop the overflow
+(the reference only truncates when ``max_nodes_per_hop`` is set).
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from s3grl_tpu.data.graph import Graph
+
+_UNREACHED = jnp.int32(0x3FFFFFFF)
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["edge_src", "edge_dst", "edge_weight", "nbr", "nbr_w", "nbr_mask", "x"],
+    meta_fields=["num_nodes"],
+)
+@dataclass(frozen=True)
+class DeviceGraph:
+    """Global graph shipped to device once: edge list + padded neighbor table."""
+
+    num_nodes: int
+    edge_src: jax.Array  # [E] int32
+    edge_dst: jax.Array  # [E] int32
+    edge_weight: jax.Array  # [E] float32
+    nbr: jax.Array  # [N, D] int32 padded neighbor ids (self-padded)
+    nbr_w: jax.Array  # [N, D] float32 (0 on padding)
+    nbr_mask: jax.Array  # [N, D] bool
+    x: Optional[jax.Array]  # [N, F] float32 node features or None
+
+    @classmethod
+    def from_graph(cls, g: Graph, max_degree: Optional[int] = None) -> "DeviceGraph":
+        nbr, nbr_w, deg = g.padded_adjacency(max_degree)
+        D = nbr.shape[1]
+        mask = np.arange(D)[None, :] < deg[:, None]
+        w = (
+            g.edge_weight.astype(np.float32)
+            if g.edge_weight is not None
+            else np.ones(g.num_edges, dtype=np.float32)
+        )
+        return cls(
+            num_nodes=g.num_nodes,
+            edge_src=jnp.asarray(g.edge_index[0], dtype=jnp.int32),
+            edge_dst=jnp.asarray(g.edge_index[1], dtype=jnp.int32),
+            edge_weight=jnp.asarray(w),
+            nbr=jnp.asarray(nbr),
+            nbr_w=jnp.asarray(nbr_w),
+            nbr_mask=jnp.asarray(mask),
+            x=None if g.x is None else jnp.asarray(g.x, dtype=jnp.float32),
+        )
+
+
+class SubgraphBatch(NamedTuple):
+    """Static-shape extraction result for a batch of B links.
+
+    nodes:    [B, S] int32 global node ids (slot 0 = src, slot 1 = dst)
+    node_mask:[B, S] bool   validity of each slot
+    dist:     [B, S] int32  hop distance from {src, dst} (0 for src/dst)
+    adj:      [B, S, S] f32 dense sub-adjacency, target link removed
+    sub_size: [B] int32     true (untruncated) subgraph size
+    """
+
+    nodes: jax.Array
+    node_mask: jax.Array
+    dist: jax.Array
+    adj: jax.Array
+    sub_size: jax.Array
+
+
+def _bfs_distances(
+    dg: DeviceGraph,
+    links: jax.Array,
+    num_hops: int,
+    ratio_per_hop: float,
+    max_nodes_per_hop: Optional[int],
+    link_seeds: Optional[jax.Array],  # [B] int32 per-link RNG seeds
+) -> jax.Array:
+    """Hop distances [B, N] from the union fringe of {src, dst}.
+
+    One frontier scatter-add over the edge list per hop — the batched analog
+    of the reference's per-link ``neighbors`` set expansion (utils.py:33-44).
+    Per-hop down-sampling uses *per-link* seeds so the sampled node set is
+    independent of how links are grouped into batches (the sizing pass and
+    the extraction pass then agree).
+    """
+    B = links.shape[0]
+    N = dg.num_nodes
+    dist = jnp.full((B, N), _UNREACHED, dtype=jnp.int32)
+    b_idx = jnp.arange(B)
+    dist = dist.at[b_idx, links[:, 0]].set(0)
+    dist = dist.at[b_idx, links[:, 1]].set(0)
+
+    sample = ratio_per_hop < 1.0 or max_nodes_per_hop is not None
+
+    for hop in range(1, num_hops + 1):
+        frontier = (dist == hop - 1).astype(jnp.float32)  # [B, N]
+        # reached[b, v] = sum over edges (u -> v) of frontier[b, u]
+        contrib = frontier[:, dg.edge_src]  # [B, E]
+        reached = jnp.zeros((B, N), dtype=jnp.float32)
+        reached = reached.at[:, dg.edge_dst].add(contrib)
+        newly = (reached > 0) & (dist == _UNREACHED)
+
+        if sample:
+            assert link_seeds is not None
+
+            def _pri(seed):
+                k = jax.random.fold_in(jax.random.PRNGKey(seed), hop)
+                return jax.random.uniform(k, (N,))
+
+            pri = jax.vmap(_pri)(link_seeds)
+            # rank of each new node among new nodes of its link (random order)
+            pri = jnp.where(newly, pri, 2.0)
+            order = jnp.argsort(pri, axis=1)
+            rank = jnp.zeros((B, N), dtype=jnp.int32)
+            rank = rank.at[jnp.arange(B)[:, None], order].set(
+                jnp.broadcast_to(jnp.arange(N, dtype=jnp.int32)[None, :], (B, N))
+            )
+            count = newly.sum(axis=1, keepdims=True)
+            keep_n = count
+            if ratio_per_hop < 1.0:
+                keep_n = (ratio_per_hop * count.astype(jnp.float32)).astype(jnp.int32)
+            if max_nodes_per_hop is not None:
+                keep_n = jnp.minimum(keep_n, max_nodes_per_hop)
+            newly = newly & (rank < keep_n)
+
+        dist = jnp.where(newly, hop, dist)
+    return dist
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_hops",
+        "max_nodes",
+        "ratio_per_hop",
+        "max_nodes_per_hop",
+        "remove_target_link",
+        "binary_adj",
+    ),
+)
+def extract_subgraphs(
+    dg: DeviceGraph,
+    links: jax.Array,  # [B, 2] int32
+    *,
+    num_hops: int,
+    max_nodes: int,
+    ratio_per_hop: float = 1.0,
+    max_nodes_per_hop: Optional[int] = None,
+    remove_target_link: bool = True,
+    binary_adj: bool = True,
+    link_seeds: Optional[jax.Array] = None,
+) -> SubgraphBatch:
+    """Extract padded enclosing subgraphs for a batch of links (jitted)."""
+    B = links.shape[0]
+    N = dg.num_nodes
+    S = max_nodes
+    b_idx = jnp.arange(B)
+
+    dist = _bfs_distances(
+        dg, links, num_hops, ratio_per_hop, max_nodes_per_hop, link_seeds
+    )
+
+    # --- Select up to S nodes, ordered (src, dst, then by (hop, node id)) ---
+    visited = dist != _UNREACHED
+    sub_size = visited.sum(axis=1).astype(jnp.int32)
+    # key = clipped_dist * N + node_id (fits int32: unreached -> num_hops + 1);
+    # src/dst forced to the front with keys -2/-1.
+    dist_clip = jnp.minimum(dist, num_hops + 1)
+    sel_key = dist_clip * N + jnp.arange(N, dtype=jnp.int32)[None, :]
+    sel_key = sel_key.at[b_idx, links[:, 0]].set(-2)
+    sel_key = sel_key.at[b_idx, links[:, 1]].set(-1)
+    k_sel = min(S, N)
+    neg_key, nodes = jax.lax.top_k(-sel_key, k_sel)  # smallest keys
+    if k_sel < S:  # pad bucket wider than the whole graph
+        nodes = jnp.pad(nodes, ((0, 0), (0, S - k_sel)))
+        neg_key = jnp.pad(
+            neg_key, ((0, 0), (0, S - k_sel)), constant_values=-(num_hops + 2) * N
+        )
+    nodes = nodes.astype(jnp.int32)
+    node_mask = (-neg_key) < (num_hops + 1) * N
+    # self-link degenerate case (src == dst): slot 1 duplicates slot 0
+    node_mask = node_mask.at[:, 0].set(True)
+    sel_dist = jnp.where(node_mask, dist[b_idx[:, None], nodes], 0)
+
+    # --- Dense padded sub-adjacency via local-id lookup ---
+    # Map each selected node's (global) neighbor list into local slots.
+    safe_nodes = jnp.where(node_mask, nodes, N + 1)  # invalid -> out of range
+    sort_vals = jnp.sort(safe_nodes, axis=1)  # [B, S]
+    sort_perm = jnp.argsort(safe_nodes, axis=1)
+
+    gnbr = dg.nbr[nodes]  # [B, S, D]
+    if binary_adj:
+        # reference PoS builds SparseTensor without values -> binary adjacency
+        # (tuned_SIGN.py:155 SparseTensor(row=u, col=v) has implicit 1s)
+        gnbr_w = dg.nbr_mask[nodes].astype(jnp.float32)
+    else:
+        gnbr_w = dg.nbr_w[nodes]
+    gnbr_valid = dg.nbr_mask[nodes] & node_mask[:, :, None]
+
+    pos = jax.vmap(jnp.searchsorted)(sort_vals, gnbr.reshape(B, -1)).reshape(
+        B, S, -1
+    )  # [B, S, D] position in sorted order
+    pos = jnp.clip(pos, 0, S - 1)
+    hit = sort_vals[b_idx[:, None, None], pos] == gnbr
+    local_j = sort_perm[b_idx[:, None, None], pos]  # [B, S, D]
+    w = jnp.where(hit & gnbr_valid, gnbr_w, 0.0)
+
+    adj = jnp.zeros((B, S, S), dtype=jnp.float32)
+    i_idx = jnp.broadcast_to(jnp.arange(S)[None, :, None], local_j.shape)
+    adj = adj.at[b_idx[:, None, None], i_idx, local_j].add(w)
+
+    if remove_target_link:
+        adj = adj.at[:, 0, 1].set(0.0)
+        adj = adj.at[:, 1, 0].set(0.0)
+
+    return SubgraphBatch(
+        nodes=nodes,
+        node_mask=node_mask,
+        dist=sel_dist.astype(jnp.int32),
+        adj=adj,
+        sub_size=sub_size,
+    )
+
+
+def sym_normalize(adj: jax.Array, eps: float = 0.0) -> jax.Array:
+    """D^-1/2 A D^-1/2 with 0-degree guarded (reference: tuned_SIGN.py:155-161)."""
+    deg = adj.sum(axis=-1)
+    inv_sqrt = jnp.where(deg > eps, jax.lax.rsqrt(jnp.maximum(deg, 1e-30)), 0.0)
+    return adj * inv_sqrt[..., :, None] * inv_sqrt[..., None, :]
+
+
+def pick_bucket(size: int, buckets) -> int:
+    """Smallest bucket >= size (caps at the largest bucket)."""
+    for b in sorted(buckets):
+        if size <= b:
+            return int(b)
+    return int(sorted(buckets)[-1])

@@ -1,0 +1,127 @@
+"""Batched structural node labeling.
+
+TPU-native replacement for the reference's scipy-based labeling tricks
+(utils.py:177-316): all labels are computed for a whole padded subgraph batch
+at once with masked frontier BFS (repeated sparse-as-dense matmuls on the VPU)
+instead of per-link ``scipy.sparse.csgraph.shortest_path`` calls.
+
+Labels (dispatch parity with ``construct_pyg_graph``, utils.py:281-316):
+- ``zo``     zero-one: 1 on src/dst, 0 elsewhere (utils.py:297-298)
+- ``hop``    min hop distance to {src, dst} (utils.py:295-296)
+- ``drnl``   double-radius node labeling, z = 1 + min(ds, dd) +
+             (d//2)*(d//2 + d%2 - 1) with the other target masked out during
+             each BFS; unreachable -> 0 (utils.py:211-238)
+- ``de``     distance encoding to [src, dst] on the intact subgraph, capped at
+             max_dist=3, unreachable -> max_dist + 1 (utils.py:241-252)
+- ``de+``    like drnl's masked distances, capped at 100, unreachable -> 101
+             (utils.py:255-278)
+- ``degree`` column-sum degree capped at 100 (utils.py:303-305)
+
+The masked BFS iterates ``max_iters`` frontier steps; distances beyond that
+are treated as unreachable. The reference computes exact shortest paths — in
+enclosing subgraphs real distances are tiny, so a cap of ~32 is lossless in
+practice (differential tests assert equality on real subgraphs).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_INF = jnp.float32(1e9)
+
+
+def masked_bfs_dist(
+    adj: jax.Array,  # [B, S, S] dense sub-adjacency (any positive weights)
+    start: jax.Array,  # [B] int32 local start index per subgraph
+    node_mask: jax.Array,  # [B, S]
+    forbidden: jax.Array | None,  # [B] local node to delete, or None
+    max_iters: int,
+) -> jax.Array:
+    """Unweighted BFS distance [B, S] from ``start`` with ``forbidden`` node
+    removed from the graph (the reference's adj_wo_src/adj_wo_dst trick,
+    utils.py:215-227, realized as a mask instead of a matrix re-index)."""
+    B, S, _ = adj.shape
+    A = (adj > 0).astype(jnp.float32)
+    A = A * node_mask[:, :, None] * node_mask[:, None, :]
+    if forbidden is not None:
+        b = jnp.arange(B)
+        A = A.at[b, forbidden, :].set(0.0)
+        A = A.at[b, :, forbidden].set(0.0)
+
+    dist = jnp.full((B, S), _INF)
+    dist = dist.at[jnp.arange(B), start].set(0.0)
+
+    def body(t, carry):
+        dist, frontier = carry
+        reached = jnp.einsum("bs,bst->bt", frontier, A) > 0
+        newly = reached & (dist >= _INF)
+        dist = jnp.where(newly, t.astype(jnp.float32), dist)
+        return dist, newly.astype(jnp.float32)
+
+    frontier = jnp.zeros((B, S)).at[jnp.arange(B), start].set(1.0)
+    dist, _ = jax.lax.fori_loop(1, max_iters + 1, body, (dist, frontier))
+    return dist
+
+
+def _drnl_from_dists(ds: jax.Array, dd: jax.Array) -> jax.Array:
+    """DRNL formula (utils.py:229-236). Unreachable (INF) -> 0."""
+    d = ds + dd
+    d2 = jnp.floor(d / 2.0)
+    dm2 = d - 2.0 * d2
+    z = 1.0 + jnp.minimum(ds, dd) + d2 * (d2 + dm2 - 1.0)
+    z = jnp.where((ds >= _INF) | (dd >= _INF), 0.0, z)
+    return z
+
+
+@functools.partial(jax.jit, static_argnames=("node_label", "max_iters"))
+def label_nodes(
+    adj: jax.Array,  # [B, S, S]
+    dist: jax.Array,  # [B, S] hop distance from extraction
+    node_mask: jax.Array,  # [B, S]
+    node_label: str = "drnl",
+    max_iters: int = 32,
+) -> jax.Array:
+    """Compute labels; returns [B, S] (or [B, S, 2] for de/de+)."""
+    B, S, _ = adj.shape
+    zeros_b = jnp.zeros(B, dtype=jnp.int32)
+    src = zeros_b  # local slot 0
+    dst = zeros_b + 1  # local slot 1
+
+    if node_label == "zo":
+        z = (dist == 0).astype(jnp.float32) * node_mask
+        return z
+    if node_label == "hop":
+        return dist.astype(jnp.float32) * node_mask
+    if node_label == "degree":
+        deg = adj.sum(axis=1)  # column sum (utils.py:304 adj.sum(axis=0))
+        return jnp.minimum(deg, 100.0) * node_mask
+
+    if node_label in ("drnl", "de+"):
+        ds = masked_bfs_dist(adj, src, node_mask, forbidden=dst, max_iters=max_iters)
+        dd = masked_bfs_dist(adj, dst, node_mask, forbidden=src, max_iters=max_iters)
+        # targets have distance 0 to themselves and, per reference np.insert,
+        # 0 at the position of the deleted counterpart
+        b = jnp.arange(B)
+        ds = ds.at[b, dst].set(0.0)
+        dd = dd.at[b, src].set(0.0)
+        if node_label == "drnl":
+            z = _drnl_from_dists(ds, dd)
+            z = z.at[b, src].set(1.0)
+            z = z.at[b, dst].set(1.0)
+            return z * node_mask
+        # de+: capped masked distances, [B, S, 2] (utils.py:274-277)
+        ds = jnp.where(ds >= _INF, 101.0, jnp.minimum(ds, 100.0))
+        dd = jnp.where(dd >= _INF, 101.0, jnp.minimum(dd, 100.0))
+        return jnp.stack([ds, dd], axis=-1) * node_mask[:, :, None]
+
+    if node_label == "de":
+        ds = masked_bfs_dist(adj, src, node_mask, forbidden=None, max_iters=max_iters)
+        dd = masked_bfs_dist(adj, dst, node_mask, forbidden=None, max_iters=max_iters)
+        max_dist = 3.0
+        ds = jnp.where(ds >= _INF, max_dist + 1.0, jnp.minimum(ds, max_dist))
+        dd = jnp.where(dd >= _INF, max_dist + 1.0, jnp.minimum(dd, max_dist))
+        return jnp.stack([ds, dd], axis=-1) * node_mask[:, :, None]
+
+    raise NotImplementedError(f"node_label {node_label}")

@@ -1,0 +1,209 @@
+"""Training / evaluation engines for the SIGN scorer.
+
+Replaces the reference's torch loops (``train_bce`` sgrl_link_pred.py:440-472,
+``test`` :538-587) with a single jitted train step over padded link batches:
+the whole precomputed operator dataset lives on device, each step gathers a
+shuffled batch, computes masked-mean BCE-with-logits, and applies Adam with
+additive weight decay 1e-4 (torch Adam ``weight_decay`` semantics:
+grad + wd * p before the moment updates — sgrl_link_pred.py:1317).
+"""
+from __future__ import annotations
+
+import functools
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from s3grl_tpu.models.signnet import SIGNNet
+from s3grl_tpu.operators.common import OperatorDataset
+from s3grl_tpu.train.metrics import evaluate_auc
+
+
+def bce_with_logits(logits: jax.Array, labels: jax.Array) -> jax.Array:
+    """Elementwise BCEWithLogitsLoss (numerically stable torch formula)."""
+    return (
+        jnp.maximum(logits, 0.0)
+        - logits * labels
+        + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    )
+
+
+def make_optimizer(lr: float, weight_decay: float = 1e-4) -> optax.GradientTransformation:
+    """torch.optim.Adam(lr, weight_decay): L2 added to grads, then Adam."""
+    return optax.chain(
+        optax.add_decayed_weights(weight_decay),
+        optax.adam(lr, b1=0.9, b2=0.999, eps=1e-8),
+    )
+
+
+@dataclass
+class FitResult:
+    results_per_epoch: list  # [(results_dict, inference_time_s)]
+    train_times: list
+    inference_times: list
+    num_params: int
+    final_variables: dict = field(default=None, repr=False)
+
+
+def _count_params(params) -> int:
+    return int(sum(np.prod(p.shape) for p in jax.tree_util.tree_leaves(params)))
+
+
+def fit_signnet(
+    train_ds: OperatorDataset,
+    val_ds: OperatorDataset,
+    test_ds: OperatorDataset,
+    *,
+    sign_k: int,
+    hidden_channels: int = 256,
+    num_layers: Optional[int] = None,
+    batch_size: int = 32,
+    lr: float = 1e-4,
+    epochs: int = 50,
+    dropout: float = 0.5,
+    k_heuristic: int = 0,
+    k_pool_strategy: str = "",
+    pool_operatorwise: bool = False,
+    last_only: bool = False,
+    seed: int = 1,
+    eval_steps: int = 1,
+    eval_fn: Callable = evaluate_auc,
+    loss_fn: str = "",
+    neg_ratio: int = 1,
+    logger_hook: Optional[Callable] = None,
+) -> FitResult:
+    """Train SIGNNet on precomputed operator datasets; returns FitResult."""
+    if num_layers is None:
+        num_layers = sign_k
+    rng = np.random.default_rng(seed)
+    key = jax.random.PRNGKey(seed)
+
+    # ---- Assemble device-resident arrays ----
+    def to_dev(ds: OperatorDataset):
+        mi = ds.model_inputs(sign_k=sign_k, last_only=last_only)
+        return (
+            jnp.asarray(mi),
+            jnp.asarray(ds.row_mask),
+            jnp.asarray(ds.y, dtype=jnp.float32),
+        )
+
+    x_tr, m_tr, y_tr = to_dev(train_ds)
+    x_va, m_va, y_va = to_dev(val_ds)
+    x_te, m_te, y_te = to_dev(test_ds)
+    L = x_tr.shape[0]
+
+    model = SIGNNet(
+        hidden_channels=hidden_channels,
+        num_layers=num_layers,
+        dropout=dropout,
+        pool_operatorwise=pool_operatorwise,
+        k_heuristic=k_heuristic,
+        k_pool_strategy=k_pool_strategy,
+    )
+    key, init_key, drop_key = jax.random.split(key, 3)
+    variables = model.init(
+        {"params": init_key, "dropout": drop_key},
+        x_tr[:2],
+        m_tr[:2],
+        train=True,
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = make_optimizer(lr)
+    opt_state = tx.init(params)
+    n_params = _count_params(params)
+
+    @jax.jit
+    def train_step(params, batch_stats, opt_state, xb, mb, yb, wb, dkey):
+        def loss_fn_(p):
+            out, mut = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                xb,
+                mb,
+                train=True,
+                rngs={"dropout": dkey},
+                mutable=["batch_stats"],
+            )
+            losses = bce_with_logits(out, yb)
+            loss = (losses * wb).sum() / jnp.maximum(wb.sum(), 1.0)
+            return loss, mut["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn_, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_bs, opt_state, loss
+
+    @jax.jit
+    def predict(params, batch_stats, xb, mb):
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats}, xb, mb, train=False
+        )
+
+    def predict_all(x, m, bsz: int = 1024):
+        outs = []
+        n = x.shape[0]
+        for s in range(0, n, bsz):
+            xb, mb = x[s : s + bsz], m[s : s + bsz]
+            pad = 0
+            if xb.shape[0] < bsz:
+                pad = bsz - xb.shape[0]
+                xb = jnp.pad(xb, ((0, pad), (0, 0), (0, 0)))
+                mb = jnp.pad(mb, ((0, pad), (0, 0)))
+            o = predict(params, batch_stats, xb, mb)
+            outs.append(np.asarray(o)[: bsz - pad])
+        return np.concatenate(outs)
+
+    # ---- epochs ----
+    results_per_epoch = []
+    train_times, inference_times = [], []
+    steps = (L + batch_size - 1) // batch_size
+    for epoch in range(1, epochs + 1):
+        t0 = time.perf_counter()
+        perm = rng.permutation(L)
+        total = 0.0
+        for s in range(steps):
+            idx = perm[s * batch_size : (s + 1) * batch_size]
+            w = np.ones(batch_size, dtype=np.float32)
+            if len(idx) < batch_size:
+                w[len(idx) :] = 0.0
+                idx = np.concatenate([idx, np.zeros(batch_size - len(idx), dtype=idx.dtype)])
+            idxd = jnp.asarray(idx)
+            key, dkey = jax.random.split(key)
+            params, batch_stats, opt_state, loss = train_step(
+                params,
+                batch_stats,
+                opt_state,
+                x_tr[idxd],
+                m_tr[idxd],
+                y_tr[idxd],
+                jnp.asarray(w),
+                dkey,
+            )
+            total += float(loss) * int(w.sum())
+        train_times.append(time.perf_counter() - t0)
+
+        if epoch % eval_steps == 0:
+            val_pred = predict_all(x_va, m_va)
+            t1 = time.perf_counter()
+            test_pred = predict_all(x_te, m_te)
+            t_inf = time.perf_counter() - t1
+            inference_times.append(t_inf)
+            results = eval_fn(
+                val_pred, np.asarray(y_va), test_pred, np.asarray(y_te)
+            )
+            results_per_epoch.append((results, t_inf))
+            if logger_hook is not None:
+                logger_hook(epoch, total / L, results)
+
+    return FitResult(
+        results_per_epoch=results_per_epoch,
+        train_times=train_times,
+        inference_times=inference_times,
+        num_params=n_params,
+        final_variables={"params": params, "batch_stats": batch_stats},
+    )

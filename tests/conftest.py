@@ -3,6 +3,9 @@
 This is the TPU-world "fake backend" (SURVEY.md §4): multi-chip sharding logic
 is exercised with XLA_FLAGS=--xla_force_host_platform_device_count=8 so tests
 don't need TPU hardware and are deterministic.
+
+NOTE: the env var JAX_PLATFORMS alone is NOT honored in this image (the
+experimental 'axon' TPU plugin wins); jax.config.update must be called too.
 """
 import os
 
@@ -13,3 +16,8 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", "tests must run on the CPU backend"
