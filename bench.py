@@ -1,0 +1,161 @@
+"""Headline benchmark: edges/s through precompute + training, USAir PoS.
+
+Workload (BASELINE.json configs[0], the reference's canonical CPU-runnable
+config): USAir, PoS, sign_k=3, degree init features, hops=2, center pooling.
+
+Metric: links processed per second through the full pipeline
+(operator precompute for train/valid/test + ``epochs`` training epochs),
+steady-state (one warmup pass amortizes jit compiles, as the reference's
+.pt dataset caching amortizes its one-off costs).
+
+Baseline: the reference implementation cannot run here (torch_geometric /
+torch_sparse are not installed), so the baseline is a faithful per-link
+scipy re-implementation of the reference's PoS precompute algorithm
+(tuned_SIGN.py:137-189 semantics: python loop, CSR slicing, K sparse powers,
+row-slice, feature matmul) timed on this host's CPU — the same algorithmic
+shape and substrate class (scipy CSR on CPU) the reference uses.
+``vs_baseline`` = ours / that.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def reference_style_precompute_rate(graph, links, sign_k, num_hops, n_sample=300):
+    """Time the reference's per-link scipy PoS algorithm; return links/s."""
+    import scipy.sparse as ssp
+
+    A = graph.scipy_csr()
+    x = graph.x
+    sample = links[:n_sample]
+
+    t0 = time.perf_counter()
+    for src, dst in sample:
+        src, dst = int(src), int(dst)
+        # BFS fringe expansion (utils.py:52-74 semantics)
+        nodes = [src, dst]
+        visited = {src, dst}
+        fringe = {src, dst}
+        for _ in range(num_hops):
+            nxt = set()
+            for u in fringe:
+                nxt.update(A.indices[A.indptr[u] : A.indptr[u + 1]].tolist())
+            fringe = nxt - visited
+            visited |= fringe
+            if not fringe:
+                break
+            nodes += sorted(fringe)
+        sub = A[nodes, :][:, nodes]
+        sub = (sub != 0).astype(np.float32)
+        sub[0, 1] = 0
+        sub[1, 0] = 0
+        deg = np.asarray(sub.sum(axis=1)).ravel()
+        with np.errstate(divide="ignore"):
+            dinv = 1.0 / np.sqrt(deg)
+        dinv[~np.isfinite(dinv)] = 0
+        D = ssp.diags(dinv)
+        adj_n = D @ sub @ D
+        subg_x = np.concatenate(
+            [np.zeros((len(nodes), 1), np.float32), x[nodes]], axis=1
+        )
+        subg_x[0, 0] = 1.0
+        subg_x[1, 0] = 1.0
+        powers = [adj_n]
+        for _ in range(sign_k - 1):
+            powers.append(adj_n @ powers[-1])
+        for p in powers:
+            _ = p[[0, 1]] @ subg_x
+    dt = time.perf_counter() - t0
+    return len(sample) / dt
+
+
+def main():
+    from s3grl_tpu.config import RunConfig
+    from s3grl_tpu.data.features import init_features
+    from s3grl_tpu.data.io import load_dataset
+    from s3grl_tpu.data.split import do_edge_split
+    from s3grl_tpu.operators.pos import precompute_pos
+    from s3grl_tpu.runner import build_split_links
+    from s3grl_tpu.sampling.extraction import DeviceGraph
+    from s3grl_tpu.train.loop import fit_signnet
+    from s3grl_tpu.utils.seeding import seed_everything
+
+    cfg = RunConfig(
+        dataset="USAir", model="SIGN", sign_type="PoS", optimize_sign=True,
+        init_features="degree", use_feature=True, sign_k=3, node_label="zo",
+        hidden_channels=256, batch_size=32, lr=1e-4, num_hops=2, seed=1,
+    )
+    epochs = 5
+
+    rng, _ = seed_everything(cfg.seed)
+    full = load_dataset(cfg.dataset, cfg.data_root)
+    graph, edge_split = do_edge_split(
+        full, val_ratio=cfg.split_val_ratio, test_ratio=cfg.split_test_ratio,
+        rng=rng,
+    )
+    graph = init_features(graph, cfg.init_features)
+
+    splits = {
+        s: build_split_links(s, edge_split, 100.0, rng)
+        for s in ("train", "valid", "test")
+    }
+    total_links = sum(len(l) for l, _ in splits.values())
+
+    # --- baseline: reference-style per-link scipy on host CPU ---
+    ref_rate = reference_style_precompute_rate(
+        graph, splits["train"][0], cfg.sign_k, cfg.num_hops
+    )
+
+    # --- ours ---
+    dg = DeviceGraph.from_graph(graph)
+    kw = dict(
+        num_hops=cfg.num_hops, sign_k=cfg.sign_k,
+        buckets=tuple(cfg.subgraph_buckets), batch_size=cfg.extract_batch_size,
+        max_subgraph_nodes=cfg.max_subgraph_nodes, seed=cfg.seed,
+    )
+    # warmup pass compiles every (bucket, batch) signature
+    links_w, y_w = splits["valid"]
+    precompute_pos(dg, links_w, y_w, **kw)
+
+    t0 = time.perf_counter()
+    ds = {s: precompute_pos(dg, l, y, **kw) for s, (l, y) in splits.items()}
+    t_precompute = time.perf_counter() - t0
+
+    t1 = time.perf_counter()
+    fit = fit_signnet(
+        ds["train"], ds["valid"], ds["test"],
+        sign_k=cfg.sign_k, hidden_channels=cfg.hidden_channels,
+        batch_size=cfg.batch_size, lr=cfg.lr, epochs=epochs,
+        dropout=cfg.dropout, seed=cfg.seed,
+    )
+    t_train = time.perf_counter() - t1
+
+    n_train = len(splits["train"][0])
+    edges_processed = total_links + epochs * n_train
+    our_rate = edges_processed / (t_precompute + t_train)
+    best_auc = max(r["AUC"][1] for r, _ in fit.results_per_epoch)
+
+    print(
+        json.dumps(
+            {
+                "metric": "edges_per_sec_precompute_plus_train",
+                "value": round(our_rate, 2),
+                "unit": "links/s",
+                "vs_baseline": round(our_rate / ref_rate, 3),
+                "detail": {
+                    "precompute_links_per_sec": round(total_links / t_precompute, 2),
+                    "train_links_per_sec": round(epochs * n_train / t_train, 2),
+                    "reference_scipy_links_per_sec": round(ref_rate, 2),
+                    "test_auc_at_5_epochs": round(best_auc, 4),
+                    "total_links": total_links,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -14,6 +14,31 @@ can tile the work onto the MXU and `pjit` can scale it over a device mesh.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+
+def _setup_compilation_cache() -> None:
+    """Persistent XLA compilation cache: TPU compiles are tens of seconds, and
+    the precompute pipeline uses a bounded family of (batch, bucket) shapes —
+    caching them across processes removes recompilation from steady-state runs.
+    Opt out with S3GRL_TPU_NO_COMPILE_CACHE=1."""
+    if _os.environ.get("S3GRL_TPU_NO_COMPILE_CACHE"):
+        return
+    try:
+        import jax
+
+        cache_dir = _os.environ.get(
+            "S3GRL_TPU_COMPILE_CACHE", _os.path.expanduser("~/.cache/s3grl_tpu_xla")
+        )
+        _os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # cache is an optimization, never a hard dependency
+        pass
+
+
+_setup_compilation_cache()
+
 from s3grl_tpu.config import RunConfig
 
 __all__ = ["RunConfig", "__version__"]

@@ -1,0 +1,88 @@
+"""Experiment-suite manager.
+
+The TPU equivalent of ``sgrl_master_controller`` (sgrl_run_manager.py:105-181):
+consumes the same suite JSON schema (``{"datasets": {id: {ds_params:
+{runs, seeds, dataset}, hyperparams_per_run: {...}}}}``), loops runs x seeds,
+aggregates mean ± std of runtime / best test AUC / prep time / per-epoch
+train & inference time / params, and writes the same results-JSON shape.
+
+CLI: ``python -m s3grl_tpu.manager --config suite.json --results_json out.json``
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+from s3grl_tpu.config import ExperimentSuite
+from s3grl_tpu.runner import run_sgrl_learning
+from s3grl_tpu.utils.seeding import seed_everything
+
+
+def _mean_std(arr) -> str:
+    arr = np.asarray(arr, dtype=np.float64)
+    if arr.size == 0:
+        return "0.00 ± 0.00"
+    std = arr.std() if arr.size > 1 else 0.0
+    return f"{arr.mean():.2f} ± {std:.2f}"
+
+
+def sgrl_master_controller(config_path: str, results_json: str) -> dict:
+    suite = ExperimentSuite.load(config_path)
+    exp_results: dict = {}
+
+    by_identifier: dict = {}
+    for identifier, dataset, seed, cfg in suite.runs():
+        by_identifier.setdefault(identifier, []).append((dataset, seed, cfg))
+
+    for identifier, runs in by_identifier.items():
+        best_test_scores, prep_times, total_run_times = [], [], []
+        all_train_times, all_inference_times, total_params_arr = [], [], []
+        ds_config = suite.experiments[identifier]
+
+        for run_no, (dataset, seed, cfg) in enumerate(runs, start=1):
+            print(f"Run {run_no} of {dataset} with id {identifier}")
+            seed_everything(cfg.seed)
+            start = time.perf_counter()
+            (
+                total_prep_time,
+                best_test_score,
+                train_times,
+                inference_times,
+                total_params,
+            ) = run_sgrl_learning(cfg)
+            total_run_times.append(time.perf_counter() - start)
+            prep_times.append(total_prep_time)
+            best_test_scores.append(best_test_score)
+            all_train_times.extend(train_times)
+            all_inference_times.extend(inference_times)
+            total_params_arr.append(total_params)
+
+        exp_results[identifier] = {
+            "results": {
+                "Average Runtime": _mean_std(total_run_times),
+                "Average Test AUC": _mean_std(best_test_scores),
+                "Average Dataset Prep Time": _mean_std(prep_times),
+                "Average Train time per epoch": _mean_std(all_train_times),
+                "Average Inf time per epoch": _mean_std(all_inference_times),
+                "Total Model Parameters": _mean_std(total_params_arr),
+            },
+            "config_dump": ds_config,
+        }
+        with open(results_json, "w") as f:
+            json.dump(exp_results, f)
+    return exp_results
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("--results_json", type=str, default="result.json")
+    args = parser.parse_args()
+    sgrl_master_controller(args.config, args.results_json)
+
+
+if __name__ == "__main__":
+    main()

@@ -39,6 +39,46 @@ from s3grl_tpu.sampling.extraction import (
 )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_hops",
+        "max_nodes",
+        "ratio_per_hop",
+        "max_nodes_per_hop",
+        "sign_k",
+        "max_ccn",
+        "strategy",
+    ),
+)
+def _extract_and_operate(
+    dg: DeviceGraph,
+    links: jax.Array,
+    link_seeds: jax.Array,
+    *,
+    num_hops: int,
+    max_nodes: int,
+    ratio_per_hop: float,
+    max_nodes_per_hop,
+    sign_k: int,
+    max_ccn: int,
+    strategy: str,
+):
+    """Fused extraction + PoS operators: one dispatch per link batch."""
+    sub = extract_subgraphs(
+        dg,
+        links,
+        num_hops=num_hops,
+        max_nodes=max_nodes,
+        ratio_per_hop=ratio_per_hop,
+        max_nodes_per_hop=max_nodes_per_hop,
+        link_seeds=link_seeds,
+    )
+    return pos_operators(
+        sub, dg.x, sign_k=sign_k, max_ccn=max_ccn, strategy=strategy
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("sign_k", "max_ccn", "strategy"))
 def pos_operators(
     sub: SubgraphBatch,
@@ -53,6 +93,7 @@ def pos_operators(
     Returns (xs [B, K+1, R, F+1], row_mask [B, R]) with R = 2 + max_ccn.
     """
     B, S = sub.nodes.shape
+    D = sub.nbr_local.shape[2]
     b_idx = jnp.arange(B)
 
     # Features of subgraph nodes, zeroed on padding.
@@ -61,7 +102,12 @@ def pos_operators(
     ind = jnp.zeros((B, S, 1)).at[:, :2, :].set(1.0)
     subg_x = jnp.concatenate([ind, x_sub], axis=-1)  # [B, S, F+1]
 
-    adj_n = sym_normalize(sub.adj)
+    # Sym-normalized edge weights on the local neighbor structure
+    # (tuned_SIGN.py:155-161): w'[i, d] = dinv[i] * w[i, d] * dinv[j(i, d)].
+    deg = sub.nbr_w.sum(axis=-1)  # [B, S] (target link already removed)
+    dinv = jnp.where(deg > 0, 1.0 / jnp.sqrt(jnp.maximum(deg, 1e-30)), 0.0)
+    dinv_j = dinv[b_idx[:, None, None], sub.nbr_local]  # [B, S, D]
+    w_norm = sub.nbr_w * dinv[:, :, None] * dinv_j
 
     # --- selected rows ---
     R = 2 + max_ccn
@@ -72,9 +118,18 @@ def pos_operators(
 
     if max_ccn > 0:
         # CCN node set: 1-hop neighbors of targets in the (target-removed)
-        # subgraph, union or intersection (tuned_SIGN.py:229-236).
-        nbr0 = sub.adj[:, 0, :] > 0
-        nbr1 = sub.adj[:, 1, :] > 0
+        # subgraph, union or intersection (tuned_SIGN.py:229-236). Neighbor
+        # membership is read straight off the targets' local neighbor rows.
+        slot = jnp.arange(S, dtype=jnp.int32)
+        has_w = sub.nbr_w > 0  # [B, S, D]
+        nbr0 = (
+            (sub.nbr_local[:, 0, :][:, None, :] == slot[None, :, None])
+            & has_w[:, 0, :][:, None, :]
+        ).any(-1)
+        nbr1 = (
+            (sub.nbr_local[:, 1, :][:, None, :] == slot[None, :, None])
+            & has_w[:, 1, :][:, None, :]
+        ).any(-1)
         if strategy == "union":
             ccn = nbr0 | nbr1
         elif strategy == "intersection":
@@ -84,36 +139,40 @@ def pos_operators(
         ccn = ccn & sub.node_mask
         ccn = ccn.at[:, :2].set(False)
         # keep the max_ccn lowest local slots (closest hops first)
-        key = jnp.where(ccn, jnp.arange(S, dtype=jnp.int32)[None, :], S + 1)
+        key = jnp.where(ccn, slot[None, :], S + 1)
         neg, idx = jax.lax.top_k(-key, max_ccn)
         ccn_idx = idx.astype(jnp.int32)
         ccn_valid = (-neg) <= S
         sel_idx = sel_idx.at[:, 2:].set(jnp.where(ccn_valid, ccn_idx, 0))
         row_mask = row_mask.at[:, 2:].set(ccn_valid)
 
-    # E [B, R, S]: one-hot selector of chosen rows (zero rows where invalid).
-    E = jax.nn.one_hot(sel_idx, S, dtype=jnp.float32) * row_mask[:, :, None]
-
     # x (op 0) = subg_x at selected rows (tuned_SIGN.py:181 trimmed_x).
     x0 = subg_x[b_idx[:, None], sel_idx] * row_mask[:, :, None]
 
-    # Propagate the selector through the power chain: R_k = E Â^k.
-    # precision=HIGHEST keeps f32 numerics on the MXU (TPU matmul defaults to
-    # bf16 inputs, which breaks allclose parity with the f32 reference).
+    # Selected-row propagation WITHOUT a dense adjacency: carry the selector
+    # in node-major layout h[b, s, r] = (Â^k e_sel_r)[s] (Â symmetric, so
+    # these are exactly the selected ROWS of Â^k) and advance it with a
+    # gather + contraction over neighbor slots — no scatter anywhere.
+    h = (
+        (jnp.arange(S, dtype=jnp.int32)[None, :, None] == sel_idx[:, None, :])
+        & row_mask[:, None, :]
+    ).astype(jnp.float32)  # [B, S, R]
+
     ops = [x0]
-    r_cur = E
     for _ in range(sign_k):
-        r_cur = jnp.einsum(
-            "brs,bst->brt",
-            r_cur,
-            adj_n,
+        gathered = h[b_idx[:, None, None], sub.nbr_local]  # [B, S, D, R]
+        h = jnp.einsum(
+            "bsd,bsdr->bsr",
+            w_norm,
+            gathered,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )
+        # x_k rows = (Â^k)[sel] @ subg_x  (tuned_SIGN.py:168-185)
         ops.append(
             jnp.einsum(
-                "brs,bsf->brf",
-                r_cur,
+                "bsr,bsf->brf",
+                h,
                 subg_x,
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
@@ -178,12 +237,17 @@ def precompute_pos(
 
     # Links grouped by size bucket; per-bucket batch size bounded so the
     # [B, S, F] feature gather and [B, S, S] adjacency stay within budget.
-    ELEM_BUDGET = 48_000_000  # f32 elements (~192 MB) per transient tensor
+    ELEM_BUDGET = 192_000_000  # f32 elements (~768 MB) per transient tensor
     bucket_of = np.array([pick_bucket(int(s), buckets) for s in sizes[order]])
+    pending = []  # (idx, bsz, xs_dev, mask_dev): host copy deferred so batch
+    # dispatches pipeline on device instead of syncing per batch
     for bucket in np.unique(bucket_of):
         idx_all = order[bucket_of == bucket]
         per_link = max(int(bucket) * (F + 1), int(bucket) * int(bucket))
         bsz_cap = max(8, min(batch_size, ELEM_BUDGET // per_link))
+        # round down to a power of two: bounds the number of distinct
+        # (batch, bucket) jit signatures (compile time matters on TPU)
+        bsz_cap = 1 << (bsz_cap.bit_length() - 1)
         for start in range(0, len(idx_all), bsz_cap):
             idx = idx_all[start : start + bsz_cap]
             bsz = len(idx)
@@ -192,28 +256,39 @@ def precompute_pos(
             if bsz < bsz_cap:  # pad batch to static size
                 lb = np.concatenate([lb, np.tile(lb[-1:], (bsz_cap - bsz, 1))])
                 ls = np.concatenate([ls, np.tile(ls[-1:], bsz_cap - bsz)])
-            sub = extract_subgraphs(
+            xs, row_mask = _extract_and_operate(
                 dg,
                 jnp.asarray(lb),
+                jnp.asarray(ls),
                 num_hops=num_hops,
                 max_nodes=int(bucket),
                 ratio_per_hop=ratio_per_hop,
                 max_nodes_per_hop=max_nodes_per_hop,
-                link_seeds=jnp.asarray(ls),
-            )
-            xs, row_mask = pos_operators(
-                sub,
-                dg.x,
                 sign_k=sign_k,
                 max_ccn=eff_ccn,
                 strategy=k_node_set_strategy,
             )
-            xs_out[idx] = np.asarray(xs)[:bsz]
-            mask_out[idx] = np.asarray(row_mask)[:bsz]
+            pending.append((idx, bsz, xs, row_mask))
+
+    for idx, bsz, xs, row_mask in pending:
+        xs_out[idx] = np.asarray(xs)[:bsz]
+        mask_out[idx] = np.asarray(row_mask)[:bsz]
 
     return OperatorDataset(
         xs=xs_out, row_mask=mask_out, y=np.asarray(y, dtype=np.float32)
     )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_hops", "ratio_per_hop", "max_nodes_per_hop")
+)
+def _sizes_batch(dg, links_b, seeds_b, num_hops, ratio_per_hop, max_nodes_per_hop):
+    from s3grl_tpu.sampling.extraction import _UNREACHED, _bfs_distances
+
+    dist = _bfs_distances(
+        dg, links_b, num_hops, ratio_per_hop, max_nodes_per_hop, seeds_b
+    )
+    return (dist != _UNREACHED).sum(axis=1).astype(jnp.int32)
 
 
 def measure_subgraph_sizes(
@@ -227,17 +302,6 @@ def measure_subgraph_sizes(
     batch_size: int = 512,
 ) -> np.ndarray:
     """Sizing pass: BFS only, returns per-link subgraph node counts [L]."""
-    from s3grl_tpu.sampling.extraction import _UNREACHED, _bfs_distances
-
-    @functools.partial(
-        jax.jit, static_argnames=("num_hops", "ratio_per_hop", "max_nodes_per_hop")
-    )
-    def _sizes(links_b, seeds_b, num_hops, ratio_per_hop, max_nodes_per_hop):
-        dist = _bfs_distances(
-            dg, links_b, num_hops, ratio_per_hop, max_nodes_per_hop, seeds_b
-        )
-        return (dist != _UNREACHED).sum(axis=1).astype(jnp.int32)
-
     L = links.shape[0]
     if link_seeds is None:
         link_seeds = np.arange(L, dtype=np.int32)
@@ -249,7 +313,8 @@ def measure_subgraph_sizes(
         if bsz < batch_size:
             lb = np.concatenate([lb, np.tile(lb[-1:], (batch_size - bsz, 1))])
             ls = np.concatenate([ls, np.tile(ls[-1:], batch_size - bsz)])
-        s = _sizes(
+        s = _sizes_batch(
+            dg,
             jnp.asarray(lb, dtype=jnp.int32),
             jnp.asarray(ls, dtype=jnp.int32),
             num_hops,

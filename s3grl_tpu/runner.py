@@ -176,3 +176,47 @@ def run_sgrl_learning(
         fit.inference_times,
         fit.num_params,
     )
+
+
+def _build_arg_parser() -> "argparse.ArgumentParser":
+    """CLI mirroring the reference argparse surface (sgrl_link_pred.py:
+    1478-1580). Field names and defaults come from RunConfig."""
+    import argparse
+    import dataclasses
+
+    parser = argparse.ArgumentParser(description="S3GRL-TPU link prediction")
+    for f in dataclasses.fields(RunConfig):
+        name = f"--{f.name}"
+        if f.type == "bool" or isinstance(f.default, bool):
+            parser.add_argument(name, action="store_true", default=f.default)
+        elif f.name in ("max_nodes_per_hop", "continue_from", "use_heuristic"):
+            parser.add_argument(name, type=lambda v: None if v == "None" else (int(v) if v.isdigit() else v), default=f.default)
+        elif f.name == "subgraph_buckets":
+            parser.add_argument(
+                name,
+                type=lambda v: tuple(int(x) for x in v.split(",")),
+                default=f.default,
+            )
+        elif isinstance(f.default, int):
+            parser.add_argument(name, type=int, default=f.default)
+        elif isinstance(f.default, float):
+            parser.add_argument(name, type=float, default=f.default)
+        else:
+            parser.add_argument(name, type=str, default=f.default)
+    return parser
+
+
+def main():
+    import time as _time
+
+    args = _build_arg_parser().parse_args()
+    cfg = RunConfig(**vars(args))
+    start = _time.perf_counter()
+    total_prep_time, best, _, _, _ = run_sgrl_learning(cfg)
+    print(f"Best test score: {best}")
+    print(f"Time taken for dataset prep: {total_prep_time:.2f} seconds")
+    print(f"Time taken for run: {_time.perf_counter() - start:.2f} seconds")
+
+
+if __name__ == "__main__":
+    main()

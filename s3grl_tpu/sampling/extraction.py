@@ -77,18 +77,59 @@ class DeviceGraph:
 class SubgraphBatch(NamedTuple):
     """Static-shape extraction result for a batch of B links.
 
-    nodes:    [B, S] int32 global node ids (slot 0 = src, slot 1 = dst)
-    node_mask:[B, S] bool   validity of each slot
-    dist:     [B, S] int32  hop distance from {src, dst} (0 for src/dst)
-    adj:      [B, S, S] f32 dense sub-adjacency, target link removed
-    sub_size: [B] int32     true (untruncated) subgraph size
+    The sub-adjacency is carried as a *local padded neighbor structure*
+    (nbr_local / nbr_w), the TPU-friendly form: propagation through it is a
+    gather + weighted sum (fast), whereas a dense [B, S, S] matrix would
+    require a scatter to assemble (XLA:TPU serializes scatters — measured to
+    dominate precompute). Densify on demand with :func:`dense_adjacency`.
+
+    nodes:     [B, S] int32 global node ids (slot 0 = src, slot 1 = dst)
+    node_mask: [B, S] bool   validity of each slot
+    dist:      [B, S] int32  hop distance from {src, dst} (0 for src/dst)
+    nbr_local: [B, S, D] int32 local slot index of each neighbor (0 on pad)
+    nbr_w:     [B, S, D] f32   edge weight (0 on pad; target link removed)
+    sub_size:  [B] int32     true (untruncated) subgraph size
     """
 
     nodes: jax.Array
     node_mask: jax.Array
     dist: jax.Array
-    adj: jax.Array
+    nbr_local: jax.Array
+    nbr_w: jax.Array
     sub_size: jax.Array
+
+    @property
+    def adj(self) -> jax.Array:  # convenience densification
+        return dense_adjacency(self)
+
+
+def dense_adjacency(sub: "SubgraphBatch") -> jax.Array:
+    """Dense [B, S, S] sub-adjacency from the local neighbor structure.
+
+    Scatter-free: accumulate one neighbor slot at a time as a one-hot
+    outer product (fori_loop keeps the [B, S, S] accumulator bounded instead
+    of materializing a [B, S, D, S] one-hot).
+    """
+    B, S, D = sub.nbr_local.shape
+
+    def body(d, acc):
+        oh = jax.nn.one_hot(sub.nbr_local[:, :, d], S, dtype=sub.nbr_w.dtype)
+        return acc + sub.nbr_w[:, :, d][:, :, None] * oh
+
+    return jax.lax.fori_loop(
+        0, D, body, jnp.zeros((B, S, S), sub.nbr_w.dtype)
+    )
+
+
+def subgraph_matmul(sub: "SubgraphBatch", h: jax.Array) -> jax.Array:
+    """(A_sub @ h)[b, i, f] = sum_d w[b, i, d] * h[b, nbr_local[b, i, d], f].
+
+    The workhorse op: gather + contraction, no scatter, no dense adjacency.
+    h: [B, S, F] -> [B, S, F].
+    """
+    b_idx = jnp.arange(h.shape[0])[:, None, None]
+    gathered = h[b_idx, sub.nbr_local]  # [B, S, D, F]
+    return jnp.einsum("bsd,bsdf->bsf", sub.nbr_w, gathered)
 
 
 def _bfs_distances(
@@ -206,7 +247,7 @@ def extract_subgraphs(
     node_mask = node_mask.at[:, 0].set(True)
     sel_dist = jnp.where(node_mask, dist[b_idx[:, None], nodes], 0)
 
-    # --- Dense padded sub-adjacency via local-id lookup ---
+    # --- Local neighbor structure via sorted-search id lookup ---
     # Map each selected node's (global) neighbor list into local slots.
     safe_nodes = jnp.where(node_mask, nodes, N + 1)  # invalid -> out of range
     sort_vals = jnp.sort(safe_nodes, axis=1)  # [B, S]
@@ -228,20 +269,20 @@ def extract_subgraphs(
     hit = sort_vals[b_idx[:, None, None], pos] == gnbr
     local_j = sort_perm[b_idx[:, None, None], pos]  # [B, S, D]
     w = jnp.where(hit & gnbr_valid, gnbr_w, 0.0)
-
-    adj = jnp.zeros((B, S, S), dtype=jnp.float32)
-    i_idx = jnp.broadcast_to(jnp.arange(S)[None, :, None], local_j.shape)
-    adj = adj.at[b_idx[:, None, None], i_idx, local_j].add(w)
+    local_j = jnp.where(hit & gnbr_valid, local_j, 0)
 
     if remove_target_link:
-        adj = adj.at[:, 0, 1].set(0.0)
-        adj = adj.at[:, 1, 0].set(0.0)
+        # zero the (0 -> 1) and (1 -> 0) entries (utils.py:78-80)
+        row_i = jnp.arange(S)[None, :, None]
+        kill = ((row_i == 0) & (local_j == 1)) | ((row_i == 1) & (local_j == 0))
+        w = jnp.where(kill, 0.0, w)
 
     return SubgraphBatch(
         nodes=nodes,
         node_mask=node_mask,
         dist=sel_dist.astype(jnp.int32),
-        adj=adj,
+        nbr_local=local_j,
+        nbr_w=w,
         sub_size=sub_size,
     )
 

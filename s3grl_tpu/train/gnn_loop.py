@@ -1,0 +1,238 @@
+"""Training engine for SEAL-style GNN baselines (DGCNN/GCN/SAGE/GIN).
+
+TPU-native design: instead of the reference's choice between a cached static
+dataset of per-link PyG graphs (SEALDataset, sgrl_link_pred.py:54-220) and
+host-side multi-worker dynamic extraction (SEALDynamicDataset, :223-402),
+every train/eval step runs the fused device pipeline
+
+    link batch -> batched BFS extraction -> batched labeling -> GNN fwd/bwd
+
+as one jitted program. Subgraph adjacencies are never stored (the static
+mode's memory cost) and never built on host workers (the dynamic mode's
+throughput cost) — extraction IS a device op here.
+"""
+from __future__ import annotations
+
+import math
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from s3grl_tpu.config import RunConfig
+from s3grl_tpu.data.graph import Graph
+from s3grl_tpu.data.split import EdgeSplit
+from s3grl_tpu.models.gnn import DGCNN, GCNModel, GINModel, SAGEModel
+from s3grl_tpu.operators.pos import measure_subgraph_sizes
+from s3grl_tpu.runner_utils import round_up_pow2
+from s3grl_tpu.sampling.extraction import (
+    DeviceGraph,
+    dense_adjacency,
+    extract_subgraphs,
+    pick_bucket,
+)
+from s3grl_tpu.sampling.labeling import label_nodes
+from s3grl_tpu.train.logger import Logger
+from s3grl_tpu.train.loop import bce_with_logits, make_optimizer, _count_params
+from s3grl_tpu.train.metrics import evaluate_auc
+
+
+def build_gnn_model(cfg: RunConfig, sortpool_k: int, num_features: int):
+    if cfg.model == "DGCNN":
+        return DGCNN(
+            hidden_channels=cfg.hidden_channels,
+            num_layers=cfg.num_layers,
+            k=sortpool_k,
+            use_feature=cfg.use_feature,
+            dropedge=cfg.dropedge,
+        )
+    if cfg.model == "GCN":
+        return GCNModel(
+            hidden_channels=cfg.hidden_channels,
+            num_layers=cfg.num_layers,
+            use_feature=cfg.use_feature,
+            dropout=cfg.dropout,
+            dropedge=cfg.dropedge,
+            use_edge_weight=cfg.use_edge_weight,
+        )
+    if cfg.model == "SAGE":
+        return SAGEModel(
+            hidden_channels=cfg.hidden_channels,
+            num_layers=cfg.num_layers,
+            use_feature=cfg.use_feature,
+            dropout=cfg.dropout,
+            dropedge=cfg.dropedge,
+        )
+    if cfg.model == "GIN":
+        return GINModel(
+            hidden_channels=cfg.hidden_channels,
+            num_layers=cfg.num_layers,
+            use_feature=cfg.use_feature,
+            dropout=cfg.dropout,
+        )
+    raise NotImplementedError(f"model {cfg.model}")
+
+
+def run_gnn_learning(graph: Graph, edge_split: EdgeSplit, cfg: RunConfig, rng):
+    """End-to-end SEAL-baseline run; returns the reference result tuple."""
+    from s3grl_tpu.runner import build_split_links
+
+    t_prep0 = time.perf_counter()
+    dg = DeviceGraph.from_graph(graph)
+
+    splits = {}
+    for split, percent in (
+        ("train", cfg.train_percent),
+        ("valid", cfg.val_percent),
+        ("test", cfg.test_percent),
+    ):
+        links, y = build_split_links(split, edge_split, percent, rng)
+        splits[split] = (links.astype(np.int32), y.astype(np.float32))
+
+    # Pad size S: measured over all splits; sortpool k from the train split's
+    # 60th percentile (models.py:148-158).
+    link_seeds = {
+        s: (np.int64(cfg.seed) * 1_000_003 + np.arange(len(l))).astype(np.int32)
+        for s, (l, _) in splits.items()
+    }
+    sizes = {
+        s: measure_subgraph_sizes(
+            dg, l, link_seeds[s], num_hops=cfg.num_hops,
+            ratio_per_hop=cfg.ratio_per_hop,
+            max_nodes_per_hop=cfg.max_nodes_per_hop,
+        )
+        for s, (l, _) in splits.items()
+    }
+    max_size = max(int(v.max()) for v in sizes.values())
+    S = min(round_up_pow2(max_size), cfg.max_subgraph_nodes)
+
+    sortpool_k = 30
+    if cfg.model == "DGCNN":
+        if cfg.sortpool_k <= 1:
+            train_sizes = np.sort(sizes["train"])
+            k = int(train_sizes[int(math.ceil(cfg.sortpool_k * len(train_sizes))) - 1])
+            sortpool_k = max(10, k)
+        else:
+            sortpool_k = int(cfg.sortpool_k)
+
+    model = build_gnn_model(cfg, sortpool_k, graph.num_features)
+    use_x = cfg.use_feature and dg.x is not None
+
+    def extract_and_label(dg, lb, ls):
+        sub = extract_subgraphs(
+            dg, lb, num_hops=cfg.num_hops, max_nodes=S,
+            ratio_per_hop=cfg.ratio_per_hop,
+            max_nodes_per_hop=cfg.max_nodes_per_hop, link_seeds=ls,
+            binary_adj=not cfg.use_edge_weight,
+        )
+        adj = dense_adjacency(sub)  # densified once per batch for the convs
+        z = label_nodes(
+            adj, sub.dist, sub.node_mask,
+            node_label=cfg.node_label or "drnl",
+            max_iters=min(cfg.max_label_dist, S),
+        )
+        x = dg.x[sub.nodes] * sub.node_mask[:, :, None] if use_x else None
+        return adj, z, sub.node_mask, x
+
+    key = jax.random.PRNGKey(cfg.seed)
+    # init
+    lb0, y0 = splits["train"][0][: cfg.batch_size], splits["train"][1][: cfg.batch_size]
+    ls0 = link_seeds["train"][: cfg.batch_size]
+    adj0, z0, m0, x0 = extract_and_label(dg, jnp.asarray(lb0), jnp.asarray(ls0))
+    key, ik, dk = jax.random.split(key, 3)
+    variables = model.init(
+        {"params": ik, "dropout": dk}, adj0, z0, m0, x=x0, train=True
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = make_optimizer(cfg.lr)
+    opt_state = tx.init(params)
+    n_params = _count_params(params)
+    total_prep_time = time.perf_counter() - t_prep0
+
+    # dg is an explicit argument: captured device arrays would be baked into
+    # the jaxpr as constants (huge program, no compile-cache reuse)
+    @jax.jit
+    def train_step(params, batch_stats, opt_state, dg, lb, ls, yb, wb, dkey):
+        adj, z, m, x = extract_and_label(dg, lb, ls)
+
+        def loss_fn(p):
+            out, mut = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                adj, z, m, x=x, train=True,
+                rngs={"dropout": dkey}, mutable=["batch_stats"],
+            )
+            losses = bce_with_logits(out, yb)
+            return (losses * wb).sum() / jnp.maximum(wb.sum(), 1.0), mut["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, new_bs, opt_state, loss
+
+    @jax.jit
+    def predict_step(params, batch_stats, dg, lb, ls):
+        adj, z, m, x = extract_and_label(dg, lb, ls)
+        return model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            adj, z, m, x=x, train=False,
+        )
+
+    def predict_split(split: str, bsz: int):
+        links, _ = splits[split]
+        seeds = link_seeds[split]
+        outs = []
+        for s in range(0, len(links), bsz):
+            lb, ls = links[s : s + bsz], seeds[s : s + bsz]
+            pad = bsz - len(lb)
+            if pad:
+                lb = np.concatenate([lb, np.tile(lb[-1:], (pad, 1))])
+                ls = np.concatenate([ls, np.tile(ls[-1:], pad)])
+            o = predict_step(params, batch_stats, dg, jnp.asarray(lb), jnp.asarray(ls))
+            outs.append(np.asarray(o)[: bsz - pad] if pad else np.asarray(o))
+        return np.concatenate(outs)
+
+    loggers = {"AUC": Logger(cfg.runs), "AP": Logger(cfg.runs)}
+    np_rng = np.random.default_rng(cfg.seed)
+    train_links, train_y = splits["train"]
+    L = len(train_links)
+    bsz = cfg.batch_size
+    steps = (L + bsz - 1) // bsz
+    train_times, inference_times = [], []
+    for epoch in range(1, cfg.epochs + 1):
+        t0 = time.perf_counter()
+        perm = np_rng.permutation(L)
+        for s in range(steps):
+            idx = perm[s * bsz : (s + 1) * bsz]
+            w = np.ones(bsz, dtype=np.float32)
+            if len(idx) < bsz:
+                w[len(idx):] = 0.0
+                idx = np.concatenate([idx, np.zeros(bsz - len(idx), dtype=idx.dtype)])
+            key, dkey = jax.random.split(key)
+            params, batch_stats, opt_state, loss = train_step(
+                params, batch_stats, opt_state, dg,
+                jnp.asarray(train_links[idx]), jnp.asarray(link_seeds["train"][idx]),
+                jnp.asarray(train_y[idx]), jnp.asarray(w), dkey,
+            )
+        train_times.append(time.perf_counter() - t0)
+
+        if epoch % cfg.eval_steps == 0:
+            val_pred = predict_split("valid", bsz)
+            t1 = time.perf_counter()
+            test_pred = predict_split("test", bsz)
+            inference_times.append(time.perf_counter() - t1)
+            results = evaluate_auc(
+                val_pred, splits["valid"][1], test_pred, splits["test"][1]
+            )
+            for k, r in results.items():
+                loggers[k].add_result(0, r)
+
+    best_scores = []
+    for k in loggers:
+        loggers[k].add_info(cfg.epochs, cfg.runs)
+        best_scores.append(loggers[k].print_statistics())
+
+    return total_prep_time, best_scores[0], train_times, inference_times, n_params

@@ -118,25 +118,52 @@ def fit_signnet(
     opt_state = tx.init(params)
     n_params = _count_params(params)
 
-    @jax.jit
-    def train_step(params, batch_stats, opt_state, xb, mb, yb, wb, dkey):
-        def loss_fn_(p):
-            out, mut = model.apply(
-                {"params": p, "batch_stats": batch_stats},
-                xb,
-                mb,
-                train=True,
-                rngs={"dropout": dkey},
-                mutable=["batch_stats"],
-            )
-            losses = bce_with_logits(out, yb)
-            loss = (losses * wb).sum() / jnp.maximum(wb.sum(), 1.0)
-            return loss, mut["batch_stats"]
+    steps = (L + batch_size - 1) // batch_size
+    L_pad = steps * batch_size
 
-        (loss, new_bs), grads = jax.value_and_grad(loss_fn_, has_aux=True)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, new_bs, opt_state, loss
+    # Dataset tensors are explicit jit ARGUMENTS, never closure captures:
+    # captured device arrays get baked into the jaxpr as constants, which
+    # bloats the program and defeats the persistent compilation cache.
+    @jax.jit
+    def train_epoch(params, batch_stats, opt_state, x_tr, m_tr, y_tr, perm, w, key):
+        """One full epoch as a single device program: lax.scan over batches.
+
+        The reference dispatches one optimizer step per DataLoader batch from
+        the host (train_bce, sgrl_link_pred.py:440-472); over a TPU tunnel
+        that per-step round trip dominates, so the whole epoch runs device-side.
+        """
+
+        def body(carry, s):
+            params, batch_stats, opt_state = carry
+            idx = jax.lax.dynamic_slice(perm, (s * batch_size,), (batch_size,))
+            wb = jax.lax.dynamic_slice(w, (s * batch_size,), (batch_size,))
+            xb, mb, yb = x_tr[idx], m_tr[idx], y_tr[idx]
+            dkey = jax.random.fold_in(key, s)
+
+            def loss_fn_(p):
+                out, mut = model.apply(
+                    {"params": p, "batch_stats": batch_stats},
+                    xb,
+                    mb,
+                    train=True,
+                    rngs={"dropout": dkey},
+                    mutable=["batch_stats"],
+                )
+                losses = bce_with_logits(out, yb)
+                loss = (losses * wb).sum() / jnp.maximum(wb.sum(), 1.0)
+                return loss, mut["batch_stats"]
+
+            (loss, new_bs), grads = jax.value_and_grad(loss_fn_, has_aux=True)(
+                params
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, new_bs, opt_state), loss * wb.sum()
+
+        (params, batch_stats, opt_state), losses = jax.lax.scan(
+            body, (params, batch_stats, opt_state), jnp.arange(steps)
+        )
+        return params, batch_stats, opt_state, losses.sum()
 
     @jax.jit
     def predict(params, batch_stats, xb, mb):
@@ -161,30 +188,21 @@ def fit_signnet(
     # ---- epochs ----
     results_per_epoch = []
     train_times, inference_times = [], []
-    steps = (L + batch_size - 1) // batch_size
+    w_full = np.zeros(L_pad, dtype=np.float32)
+    w_full[:L] = 1.0
+    w_dev = jnp.asarray(w_full)
     for epoch in range(1, epochs + 1):
         t0 = time.perf_counter()
         perm = rng.permutation(L)
-        total = 0.0
-        for s in range(steps):
-            idx = perm[s * batch_size : (s + 1) * batch_size]
-            w = np.ones(batch_size, dtype=np.float32)
-            if len(idx) < batch_size:
-                w[len(idx) :] = 0.0
-                idx = np.concatenate([idx, np.zeros(batch_size - len(idx), dtype=idx.dtype)])
-            idxd = jnp.asarray(idx)
-            key, dkey = jax.random.split(key)
-            params, batch_stats, opt_state, loss = train_step(
-                params,
-                batch_stats,
-                opt_state,
-                x_tr[idxd],
-                m_tr[idxd],
-                y_tr[idxd],
-                jnp.asarray(w),
-                dkey,
-            )
-            total += float(loss) * int(w.sum())
+        perm_pad = np.concatenate(
+            [perm, np.zeros(L_pad - L, dtype=perm.dtype)]
+        )
+        key, ekey = jax.random.split(key)
+        params, batch_stats, opt_state, loss_sum = train_epoch(
+            params, batch_stats, opt_state, x_tr, m_tr, y_tr,
+            jnp.asarray(perm_pad), w_dev, ekey,
+        )
+        total = float(loss_sum)
         train_times.append(time.perf_counter() - t0)
 
         if epoch % eval_steps == 0:
