@@ -49,6 +49,8 @@ from s3grl_tpu.sampling.extraction import (
         "sign_k",
         "max_ccn",
         "strategy",
+        "rw_m",
+        "rw_M",
     ),
 )
 def _extract_and_operate(
@@ -63,17 +65,29 @@ def _extract_and_operate(
     sign_k: int,
     max_ccn: int,
     strategy: str,
+    rw_m: int = 0,
+    rw_M: int = 0,
 ):
-    """Fused extraction + PoS operators: one dispatch per link batch."""
-    sub = extract_subgraphs(
-        dg,
-        links,
-        num_hops=num_hops,
-        max_nodes=max_nodes,
-        ratio_per_hop=ratio_per_hop,
-        max_nodes_per_hop=max_nodes_per_hop,
-        link_seeds=link_seeds,
-    )
+    """Fused extraction + PoS operators: one dispatch per link batch.
+
+    rw_m/rw_M > 0 selects ScaLed random-walk extraction (utils.py:86-150)
+    instead of BFS."""
+    if rw_m and rw_M:
+        from s3grl_tpu.sampling.random_walk import extract_rw_subgraphs
+
+        sub = extract_rw_subgraphs(
+            dg, links, link_seeds, rw_m=rw_m, rw_M=rw_M, max_nodes=max_nodes
+        )
+    else:
+        sub = extract_subgraphs(
+            dg,
+            links,
+            num_hops=num_hops,
+            max_nodes=max_nodes,
+            ratio_per_hop=ratio_per_hop,
+            max_nodes_per_hop=max_nodes_per_hop,
+            link_seeds=link_seeds,
+        )
     return pos_operators(
         sub, dg.x, sign_k=sign_k, max_ccn=max_ccn, strategy=strategy
     )
@@ -104,9 +118,12 @@ def pos_operators(
 
     # Sym-normalized edge weights on the local neighbor structure
     # (tuned_SIGN.py:155-161): w'[i, d] = dinv[i] * w[i, d] * dinv[j(i, d)].
+    # Gathers use flattened 1D jnp.take: the multi-dim fancy-index form
+    # lowers to a pathologically slow TPU gather.
+    flat_j = (b_idx[:, None, None] * S + sub.nbr_local).reshape(-1)
     deg = sub.nbr_w.sum(axis=-1)  # [B, S] (target link already removed)
     dinv = jnp.where(deg > 0, 1.0 / jnp.sqrt(jnp.maximum(deg, 1e-30)), 0.0)
-    dinv_j = dinv[b_idx[:, None, None], sub.nbr_local]  # [B, S, D]
+    dinv_j = jnp.take(dinv.reshape(-1), flat_j).reshape(sub.nbr_local.shape)
     w_norm = sub.nbr_w * dinv[:, :, None] * dinv_j
 
     # --- selected rows ---
@@ -160,7 +177,9 @@ def pos_operators(
 
     ops = [x0]
     for _ in range(sign_k):
-        gathered = h[b_idx[:, None, None], sub.nbr_local]  # [B, S, D, R]
+        gathered = jnp.take(h.reshape(B * S, R), flat_j, axis=0).reshape(
+            B, S, D, R
+        )
         h = jnp.einsum(
             "bsd,bsdr->bsr",
             w_norm,
@@ -200,6 +219,8 @@ def precompute_pos(
     max_subgraph_nodes: int = 1024,
     seed: int = 0,
     size_oracle=None,
+    rw_m: int = 0,
+    rw_M: int = 0,
 ) -> OperatorDataset:
     """Host driver: bucket links by subgraph size, run the jitted pipeline.
 
@@ -225,10 +246,17 @@ def precompute_pos(
 
     sizes = size_oracle
     if sizes is None:
-        sizes = measure_subgraph_sizes(
-            dg, links, link_seeds, num_hops=num_hops, ratio_per_hop=ratio_per_hop,
-            max_nodes_per_hop=max_nodes_per_hop, batch_size=max(batch_size, 512),
-        )
+        if rw_m and rw_M:
+            # rw subgraph size is bounded by the nodes 2*M walks can visit
+            bound = min(2 * rw_M * (rw_m + 1), dg.num_nodes, max_subgraph_nodes)
+            sizes = np.full(L, bound, dtype=np.int32)
+        else:
+            sizes = measure_subgraph_sizes(
+                dg, links, link_seeds, num_hops=num_hops,
+                ratio_per_hop=ratio_per_hop,
+                max_nodes_per_hop=max_nodes_per_hop,
+                batch_size=max(batch_size, 512),
+            )
 
     order = np.argsort(sizes, kind="stable")
     F = int(dg.x.shape[1])
@@ -267,6 +295,8 @@ def precompute_pos(
                 sign_k=sign_k,
                 max_ccn=eff_ccn,
                 strategy=k_node_set_strategy,
+                rw_m=rw_m,
+                rw_M=rw_M,
             )
             pending.append((idx, bsz, xs, row_mask))
 

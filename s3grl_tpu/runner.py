@@ -57,6 +57,8 @@ def precompute_split(
         batch_size=cfg.extract_batch_size,
         max_subgraph_nodes=cfg.max_subgraph_nodes,
         seed=cfg.seed,
+        rw_m=cfg.m,
+        rw_M=cfg.M,
     )
     if sign_type == "PoS":
         if cfg.k_heuristic:
@@ -116,6 +118,11 @@ def run_sgrl_learning(
 
         return run_heuristic(graph, edge_split, cfg)
 
+    if cfg.model == "WalkPool":
+        from s3grl_tpu.train.walkpool_loop import run_walkpool_learning
+
+        return run_walkpool_learning(graph, edge_split, cfg, rng)
+
     if cfg.model != "SIGN":
         from s3grl_tpu.train.gnn_loop import run_gnn_learning
 
@@ -158,6 +165,13 @@ def run_sgrl_learning(
         seed=cfg.seed,
         eval_steps=cfg.eval_steps,
         eval_fn=evaluate_auc,
+        loss_fn=cfg.loss_fn,
+        neg_ratio=cfg.neg_ratio,
+        pairwise=cfg.pairwise,
+        checkpoint_training=cfg.checkpoint_training,
+        continue_from=cfg.continue_from,
+        res_dir=cfg.res_dir or f"{cfg.results_dir}/{cfg.dataset}_seed{cfg.seed}",
+        log_steps=cfg.log_steps,
     )
 
     for results, _tinf in fit.results_per_epoch:

