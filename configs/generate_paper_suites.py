@@ -1,0 +1,244 @@
+"""Generate the paper experiment-suite JSONs (configs/paper/*.json).
+
+Reproduces the reference's five config suites (reference configs/paper/:
+auc_s3grl.json 42 experiments, table_2.json 30, scaled.json 8,
+profiling_attr.json 30, profiling_non.json 25 — consumed by
+sgrl_master_controller, sgrl_run_manager.py:105-181) from compact grid
+definitions rather than 5 hand-maintained JSON blobs. Same schema:
+{"datasets": {id: {"ds_params": {runs, seeds, dataset},
+"hyperparams_per_run": {...}}}}.
+
+Run: python configs/generate_paper_suites.py  (writes into configs/paper/).
+"""
+from __future__ import annotations
+
+import json
+import os
+
+NON_ATTRIBUTED = ["USAir", "NS", "Power", "Celegans", "Router", "PB", "Ecoli", "Yeast"]
+ATTRIBUTED = ["Cora", "CiteSeer", "Pubmed", "Texas", "Cornell", "Wisconsin"]
+
+# Shared flag values for every experiment (the reference's common base;
+# values verified against all five reference suites).
+COMMON = {
+    "fast_split": False,
+    "delete_dataset": True,
+    "batch_size": 32,
+    "ratio_per_hop": 1.0,
+    "max_nodes_per_hop": None,
+    "use_edge_weight": False,
+    "lr": 1e-4,
+    "epochs": 50,
+    "runs": 1,
+    "train_percent": 100,
+    "val_percent": 100,
+    "test_percent": 100,
+    "dynamic_train": False,
+    "dynamic_val": False,
+    "dynamic_test": False,
+    "num_workers": 16,
+    "train_node_embedding": False,
+    "pretrained_node_embedding": None,
+    "use_valedges_as_input": False,
+    "eval_steps": 1,
+    "log_steps": 1,
+    "checkpoint_training": False,
+    "data_appendix": "",
+    "save_appendix": "",
+    "keep_old": True,
+    "continue_from": None,
+    "only_test": False,
+    "test_multiple_models": False,
+    "use_heuristic": None,
+    "m": 0,
+    "M": 0,
+    "dropedge": 0.0,
+    "calc_ratio": False,
+    "pairwise": False,
+    "loss_fn": "",
+    "neg_ratio": 1,
+    "profile": False,
+    "split_val_ratio": 0.05,
+    "split_test_ratio": 0.1,
+    "train_mlp": False,
+    "dropout": 0.5,
+    "train_gae": False,
+    "dataset_split_num": 1,
+    "base_gae": "",
+    "dataset_stats": False,
+    "train_n2v": False,
+    "train_mf": False,
+    "init_representation": "",
+}
+
+# S3GRL (SIGN) experiments: optimized flows, zo labels, hidden 256.
+SIGN_BASE = {
+    **COMMON,
+    "model": "SIGN",
+    "sortpool_k": -1,
+    "num_layers": -1,
+    "hidden_channels": 256,
+    "node_label": "zo",
+    "use_feature": True,
+    "sign_k": 3,
+    "pool_operatorwise": True,
+    "optimize_sign": True,
+    "k_heuristic": 0,
+    "k_node_set_strategy": "",
+    "k_pool_strategy": "",
+}
+
+# SGRL baselines (SEAL-DGCNN / GCN-DE): full subgraph GNNs, no SIGN flags.
+GNN_BASE = {
+    **COMMON,
+    "num_layers": 3,
+    "sign_k": -1,
+    "sign_type": "",
+    "pool_operatorwise": False,
+    "optimize_sign": False,
+    "init_features": "",
+    "k_heuristic": 0,
+    "k_node_set_strategy": "",
+    "k_pool_strategy": "",
+}
+
+POS_PLUS = {
+    "k_heuristic": 1,
+    "k_node_set_strategy": "intersection",
+    "k_pool_strategy": "mean",
+}
+
+
+def _feat_flags(dataset: str) -> dict:
+    """Attributed datasets use raw features; non-attributed pretrain n2v-16."""
+    if dataset in ATTRIBUTED:
+        return {"init_features": "", "n2v_dim": 0, "num_hops": 3}
+    return {"init_features": "n2v", "n2v_dim": 16, "num_hops": 2}
+
+
+def _exp(dataset: str, hyper: dict, runs: int = 10) -> dict:
+    return {
+        "ds_params": {
+            "runs": runs,
+            "seeds": list(range(1, runs + 1)),
+            "dataset": dataset,
+        },
+        "hyperparams_per_run": hyper,
+    }
+
+
+def auc_s3grl() -> dict:
+    """{PoS_Plus, PoS, SoP} x 14 datasets, 10 seeds (paper Table 3/4)."""
+    out = {}
+    for variant in ("PoS_Plus", "PoS", "SoP"):
+        for ds in NON_ATTRIBUTED + ATTRIBUTED:
+            h = {**SIGN_BASE, **_feat_flags(ds)}
+            if variant == "SoP":
+                h.update({"sign_type": "SoP", "num_hops": -1})
+            else:
+                h["sign_type"] = "PoS"
+                if variant == "PoS_Plus":
+                    h.update(POS_PLUS)
+            out[f"{ds}_{variant}"] = _exp(ds, h)
+    return out
+
+
+def table_2() -> dict:
+    """SEAL-DGCNN + GCN-DE baselines per dataset (paper Table 2)."""
+    attr = ["Cora", "CiteSeer", "Pubmed", "chameleon", "Texas", "Cornell", "Wisconsin"]
+    dynamic = {"Pubmed", "chameleon"}
+    out = {}
+    for model, label, tag in (("DGCNN", "drnl", "SEAL"), ("GCN", "de", "GCN_DE")):
+        for ds in NON_ATTRIBUTED + attr:
+            is_attr = ds in attr
+            h = {
+                **GNN_BASE,
+                "model": model,
+                "node_label": label,
+                "hidden_channels": 256 if is_attr else 32,
+                "use_feature": is_attr,
+                "n2v_dim": 0 if is_attr else -1,
+                "num_hops": 3 if is_attr else 2,
+                "dynamic_train": ds in dynamic,
+                "sortpool_k": -1 if (model == "GCN" and is_attr) else 0.6,
+            }
+            name = "Chameleon" if ds == "chameleon" else ds
+            out[f"{name}_{tag}"] = _exp(ds, h)
+    return out
+
+
+def scaled() -> dict:
+    """PoS / PoS_Plus with and without ScaLed rw sampling (m=3, M=20)."""
+    out = {}
+    for variant in ("PoS", "PoS_Plus"):
+        for ds in ("Cora", "CiteSeer"):
+            base = {**SIGN_BASE, **_feat_flags(ds), "sign_type": "PoS"}
+            if variant == "PoS_Plus":
+                base.update(POS_PLUS)
+            out[f"{ds}_{variant}"] = _exp(ds, dict(base))
+            rw = {**base, "num_hops": 0, "m": 3, "M": 20}
+            out[f"{ds}_{variant}_ScaLed"] = _exp(ds, rw)
+    return out
+
+
+def _profiling(datasets: list[str]) -> dict:
+    """Single-run timing grid: {PoS, PoS_Plus, SoP, SEAL, GCN_DE} x datasets."""
+    out = {}
+    for variant in ("PoS", "PoS_Plus", "SoP"):
+        for ds in datasets:
+            h = {**SIGN_BASE, **_feat_flags(ds)}
+            if variant == "SoP":
+                h.update({"sign_type": "SoP", "num_hops": -1})
+            else:
+                h["sign_type"] = "PoS"
+                if variant == "PoS_Plus":
+                    h.update(POS_PLUS)
+            out[f"{ds}_{variant}"] = _exp(ds, h, runs=1)
+    for model, label, tag in (("DGCNN", "drnl", "SEAL"), ("GCN", "de", "GCN_DE")):
+        for ds in datasets:
+            is_attr = ds in ATTRIBUTED
+            h = {
+                **GNN_BASE,
+                "model": model,
+                "node_label": label,
+                "hidden_channels": 256 if is_attr else 32,
+                "use_feature": is_attr,
+                "n2v_dim": 0 if is_attr else -1,
+                "num_hops": 3 if is_attr else 2,
+                "dynamic_train": ds == "Pubmed",
+                "sortpool_k": -1 if (model == "GCN" and is_attr) else 0.6,
+            }
+            out[f"{ds}_{tag}"] = _exp(ds, h, runs=1)
+    return out
+
+
+def profiling_attr() -> dict:
+    return _profiling(ATTRIBUTED)
+
+
+def profiling_non() -> dict:
+    return _profiling(["NS", "Power", "Yeast", "Ecoli", "PB"])
+
+
+SUITES = {
+    "auc_s3grl": auc_s3grl,
+    "table_2": table_2,
+    "scaled": scaled,
+    "profiling_attr": profiling_attr,
+    "profiling_non": profiling_non,
+}
+
+
+def main(out_dir: str | None = None) -> None:
+    out_dir = out_dir or os.path.join(os.path.dirname(__file__), "paper")
+    os.makedirs(out_dir, exist_ok=True)
+    for name, build in SUITES.items():
+        suite = {"datasets": build()}
+        path = os.path.join(out_dir, f"{name}.json")
+        with open(path, "w") as f:
+            json.dump(suite, f, indent=1)
+        print(f"{path}: {len(suite['datasets'])} experiments")
+
+
+if __name__ == "__main__":
+    main()

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import json
+import os
 from dataclasses import dataclass, field
 from typing import Any, Optional, Sequence
 
@@ -180,6 +181,18 @@ class ExperimentSuite:
 
     @classmethod
     def load(cls, path: str) -> "ExperimentSuite":
+        if not os.path.exists(path) and os.sep + "paper" + os.sep in path:
+            # Paper suites are generated artifacts; build them on first use.
+            import importlib.util
+
+            gen_py = os.path.join(
+                os.path.dirname(os.path.dirname(path)), "generate_paper_suites.py"
+            )
+            if os.path.exists(gen_py):
+                spec = importlib.util.spec_from_file_location("gen_suites", gen_py)
+                mod = importlib.util.module_from_spec(spec)
+                spec.loader.exec_module(mod)
+                mod.main(os.path.dirname(path))
         with open(path) as f:
             raw = json.load(f)
         return cls(experiments=raw["datasets"])

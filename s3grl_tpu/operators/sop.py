@@ -108,8 +108,16 @@ def precompute_sop(
     sign_k: int,
     batch_size: int = 0,
     x_override: Optional[np.ndarray] = None,
+    use_pallas: Optional[bool] = None,
 ) -> OperatorDataset:
-    """Host driver for SoP precompute over all links."""
+    """Host driver for SoP precompute over all links.
+
+    ``use_pallas=None`` auto-selects: the global ``Â^k X`` chain (the hot,
+    whole-graph op) runs on the Pallas BSR kernel on TPU when the densified
+    block layout fits the memory budget; the per-batch endpoint-row
+    propagation stays on the XLA gather/segment-sum path (it is one-hot
+    seeded and batch-shaped, not worth a second block layout).
+    """
     assert dg.x is not None or x_override is not None, "SoP requires features"
     x_global = dg.x if x_override is None else jnp.asarray(x_override)
     N = dg.num_nodes
@@ -118,9 +126,24 @@ def precompute_sop(
     links = np.asarray(links, dtype=np.int32)
 
     norm_w = normalized_adjacency_weights(dg.edge_src, dg.edge_dst, N)
-    ys = _sop_power_features(
-        dg.edge_src, dg.edge_dst, norm_w, x_global, sign_k=sign_k, num_nodes=N
-    )
+
+    from s3grl_tpu.ops import spmm_pallas as sp
+
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu" and sp.should_use_pallas(
+            np.asarray(dg.edge_src), np.asarray(dg.edge_dst), N, F
+        )
+    if use_pallas:
+        adj = sp.blockify(
+            np.asarray(dg.edge_src), np.asarray(dg.edge_dst),
+            np.asarray(norm_w), N,
+        )
+        ys = sp.power_chain(adj, x_global, sign_k)
+    else:
+        ys = _sop_power_features(
+            dg.edge_src, dg.edge_dst, norm_w, x_global,
+            sign_k=sign_k, num_nodes=N,
+        )
 
     if batch_size <= 0:
         # [2B, N] propagation state is the memory driver; budget ~192 MB.

@@ -1,0 +1,270 @@
+"""Pallas TPU block-sparse SpMM for global diffusion chains ``Â^k X``.
+
+TPU-native replacement for the reference's ``torch_sparse`` SpMM in the SoP
+global power chain (sgrl_link_pred.py:161-182, tuned_SIGN.py:36). Design:
+
+The MXU wants dense 128x128 tiles, so instead of translating a CUDA
+gather/scatter SpMM we *densify the nonzero blocks* of A once on the host
+(BSR layout) and run the product as a stream of dense (BS, BS) @ (BS, C)
+matmuls on the MXU — one grid step per nonzero block, output row-block
+accumulated in VMEM across consecutive steps (blocks are sorted by row).
+Block row/col indices are scalar-prefetched (`PrefetchScalarGridSpec`) so
+the pipeline can DMA the right X row-block and output row-block ahead of
+compute; XLA's automatic double-buffering overlaps those HBM streams with
+the matmul.
+
+Roofline: per nonzero block we move BS*C floats of X (+ amortized out) and
+do BS*BS*C MACs -> arithmetic intensity ~BS MACs/float = 128, comfortably
+MXU-bound rather than HBM-bound for any graph with block-level locality.
+For graphs whose edges are so scattered that NB*BS^2 would blow the memory
+budget, callers fall back to the XLA gather/segment-sum path in ops/spmm.py
+(`blocked_memory_ok` advises).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+BLOCK_SIZE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockedAdjacency:
+    """BSR form of a sparse matrix: dense nonzero blocks + block coords.
+
+    Blocks are sorted by (row_block, col_block); every row block appears at
+    least once (empty row blocks carry an explicit zero block) so the kernel
+    initializes every output tile.
+    """
+
+    blocks: jax.Array  # [NB, BS, BS] float32
+    block_rows: jax.Array  # [NB] int32, non-decreasing
+    block_cols: jax.Array  # [NB] int32
+    num_nodes: int
+    num_row_blocks: int
+
+    @property
+    def num_blocks(self) -> int:
+        return int(self.blocks.shape[0])
+
+
+def blockify(
+    edge_src: np.ndarray,
+    edge_dst: np.ndarray,
+    edge_weight: np.ndarray,
+    num_nodes: int,
+    block_size: int = BLOCK_SIZE,
+) -> BlockedAdjacency:
+    """Build the BSR layout on the host (one-off per graph).
+
+    Row convention matches ops/spmm.py::spmm: the produced matrix M satisfies
+    M[dst, src] = w(src->dst), i.e. Y = M @ X aggregates incoming messages —
+    identical to A X for the symmetric normalized adjacencies used everywhere.
+    """
+    edge_src = np.asarray(edge_src, dtype=np.int64)
+    edge_dst = np.asarray(edge_dst, dtype=np.int64)
+    edge_weight = np.asarray(edge_weight, dtype=np.float32)
+    bs = block_size
+    n_rb = max(1, -(-num_nodes // bs))
+
+    br = edge_dst // bs
+    bc = edge_src // bs
+    key = br * n_rb * 4 + bc  # unique block key (bc < n_cb <= 4*n_rb slack)
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    uniq_key, block_of_edge = np.unique(key_s, return_inverse=True)
+    u_rows = (uniq_key // (n_rb * 4)).astype(np.int32)
+    u_cols = (uniq_key % (n_rb * 4)).astype(np.int32)
+
+    # Explicit zero blocks for empty row blocks (kernel must init every tile).
+    missing = np.setdiff1d(np.arange(n_rb, dtype=np.int32), u_rows)
+    nb = len(uniq_key) + len(missing)
+    all_rows = np.concatenate([u_rows, missing])
+    all_cols = np.concatenate([u_cols, np.zeros(len(missing), np.int32)])
+    reorder = np.argsort(all_rows * (n_rb * 4) + all_cols, kind="stable")
+    all_rows = all_rows[reorder]
+    all_cols = all_cols[reorder]
+    # Map original unique-block positions to their post-sort slots.
+    slot_of_uniq = np.empty(nb, dtype=np.int64)
+    slot_of_uniq[reorder] = np.arange(nb)
+    edge_slot = slot_of_uniq[block_of_edge]
+
+    blocks = np.zeros((nb, bs, bs), dtype=np.float32)
+    r_loc = (edge_dst[order] % bs).astype(np.int64)
+    c_loc = (edge_src[order] % bs).astype(np.int64)
+    np.add.at(blocks, (edge_slot, r_loc, c_loc), edge_weight[order])
+
+    return BlockedAdjacency(
+        blocks=jnp.asarray(blocks),
+        block_rows=jnp.asarray(all_rows),
+        block_cols=jnp.asarray(all_cols),
+        num_nodes=num_nodes,
+        num_row_blocks=n_rb,
+    )
+
+
+def blocked_memory_ok(
+    num_edges: int,
+    num_nodes: int,
+    block_size: int = BLOCK_SIZE,
+    budget_bytes: int = 1 << 30,
+) -> bool:
+    """Cheap upper-bound check: worst case every edge owns its own block."""
+    n_rb = max(1, -(-num_nodes // block_size))
+    worst_blocks = min(num_edges, n_rb * n_rb) + n_rb
+    return worst_blocks * block_size * block_size * 4 <= budget_bytes
+
+
+def should_use_pallas(
+    edge_src: np.ndarray,
+    edge_dst: np.ndarray,
+    num_nodes: int,
+    num_features: int,
+    block_size: int = BLOCK_SIZE,
+    budget_bytes: int = 1 << 30,
+) -> bool:
+    """Traffic-model selector: BSR only wins when edges cluster into blocks.
+
+    Measured on TPU v5e: the XLA gather/segment-sum path streams
+    ~E*C*4*3 bytes; the BSR path streams ~NB*(BS^2 + 2*BS*C)*4 bytes. With
+    scattered edges NB→E and BSR loses badly; with banded/clustered graphs
+    (post reordering) NB ≪ E and the MXU path wins. NB is counted exactly —
+    a single np.unique over edge block keys, negligible vs precompute.
+    """
+    e = len(edge_src)
+    if e == 0:
+        return False
+    bs = block_size
+    n_rb = max(1, -(-num_nodes // bs))
+    keys = (
+        np.asarray(edge_dst, np.int64) // bs * n_rb
+        + np.asarray(edge_src, np.int64) // bs
+    )
+    nb = len(np.unique(keys)) + n_rb
+    if nb * bs * bs * 4 > budget_bytes:
+        return False
+    c = max(num_features, 1)
+    bsr_bytes = nb * (bs * bs + 2 * bs * c) * 4
+    xla_bytes = e * c * 4 * 3
+    return bsr_bytes < 0.7 * xla_bytes
+
+
+def _bsr_kernel(br_ref, bc_ref, blocks_ref, x_ref, out_ref):
+    i = pl.program_id(1)  # block index (innermost — row runs are consecutive)
+    contrib = jnp.dot(
+        blocks_ref[0], x_ref[:], preferred_element_type=jnp.float32
+    )
+    prev = br_ref[jnp.maximum(i - 1, 0)]
+    new_row = jnp.logical_or(i == 0, prev != br_ref[i])
+
+    @pl.when(new_row)
+    def _():
+        out_ref[:] = contrib
+
+    @pl.when(jnp.logical_not(new_row))
+    def _():
+        out_ref[:] = out_ref[:] + contrib
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_row_blocks", "c_tile", "interpret"),
+)
+def _bsr_spmm_padded(
+    blocks: jax.Array,  # [NB, BS, BS]
+    block_rows: jax.Array,  # [NB]
+    block_cols: jax.Array,  # [NB]
+    x_pad: jax.Array,  # [n_rb*BS, C_pad]
+    *,
+    num_row_blocks: int,
+    c_tile: int,
+    interpret: bool,
+) -> jax.Array:
+    nb, bs, _ = blocks.shape
+    c_pad = x_pad.shape[1]
+    n_ct = c_pad // c_tile
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # block_rows, block_cols
+        grid=(n_ct, nb),
+        in_specs=[
+            pl.BlockSpec(
+                (1, bs, bs),
+                lambda c, i, br, bc: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (bs, c_tile),
+                lambda c, i, br, bc: (bc[i], c),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (bs, c_tile),
+            lambda c, i, br, bc: (br[i], c),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    return pl.pallas_call(
+        _bsr_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((num_row_blocks * bs, c_pad), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * nb * bs * bs * c_pad,
+            bytes_accessed=(nb * bs * bs + 2 * nb * bs * c_pad) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(block_rows, block_cols, blocks, x_pad)
+
+
+def bsr_spmm(
+    adj: BlockedAdjacency,
+    x: jax.Array,  # [N, C]
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Y = A @ X via the Pallas BSR kernel. Returns [N, C] float32."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n, c = x.shape
+    bs = int(adj.blocks.shape[1])
+    c_tile = min(_round_up(max(c, 1), 128), 512)
+    c_pad = _round_up(max(c, 1), c_tile)
+    x_pad = jnp.zeros((adj.num_row_blocks * bs, c_pad), dtype=jnp.float32)
+    x_pad = x_pad.at[:n, :c].set(x.astype(jnp.float32))
+    out = _bsr_spmm_padded(
+        adj.blocks,
+        adj.block_rows,
+        adj.block_cols,
+        x_pad,
+        num_row_blocks=adj.num_row_blocks,
+        c_tile=c_tile,
+        interpret=bool(interpret),
+    )
+    return out[:n, :c]
+
+
+def power_chain(
+    adj: BlockedAdjacency,
+    x: jax.Array,  # [N, C]
+    sign_k: int,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """[Â X, Â² X, ..., Â^K X] stacked [K, N, C] — the SoP global chain."""
+    ys = []
+    y = x
+    for _ in range(sign_k):
+        y = bsr_spmm(adj, y, interpret=interpret)
+        ys.append(y)
+    return jnp.stack(ys, axis=0)
