@@ -37,7 +37,23 @@ def _setup_compilation_cache() -> None:
         pass
 
 
+def _honor_platform_env() -> None:
+    """Make JAX_PLATFORMS authoritative: on this image the experimental
+    'axon' TPU plugin otherwise wins over the env var, so CPU-mesh runs
+    (tests, virtual multi-device dry runs) would silently land on the TPU."""
+    plat = _os.environ.get("JAX_PLATFORMS")
+    if not plat:
+        return
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", plat)
+    except Exception:
+        pass
+
+
 _setup_compilation_cache()
+_honor_platform_env()
 
 from s3grl_tpu.config import RunConfig
 

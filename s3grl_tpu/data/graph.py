@@ -107,15 +107,31 @@ class Graph:
         D = int(max_degree or self.max_degree)
         row_ptr, col_idx, w = self.csr
         N = self.num_nodes
-        nbr = np.tile(np.arange(N, dtype=np.int32)[:, None], (1, D))
-        nbr_w = np.zeros((N, D), dtype=np.float32)
-        deg = self.degrees
-        for n in range(N):
-            d = min(int(deg[n]), D)
-            s = row_ptr[n]
-            nbr[n, :d] = col_idx[s : s + d]
-            nbr_w[n, :d] = w[s : s + d]
-        return nbr, nbr_w, np.minimum(deg, D)
+
+        if D == 0 or len(col_idx) == 0:
+            D = max(D, 1)
+            return (
+                np.tile(np.arange(N, dtype=np.int32)[:, None], (1, D)),
+                np.zeros((N, D), dtype=np.float32),
+                np.zeros(N, dtype=np.int32),
+            )
+
+        from s3grl_tpu import native
+
+        nat = native.padded_adjacency(row_ptr, col_idx, w, D)
+        if nat is not None:
+            return nat
+
+        # Vectorized numpy fallback: gather each row's first D entries.
+        deg = np.minimum(self.degrees, D)
+        pos = row_ptr[:-1, None] + np.arange(D)[None, :]
+        valid = np.arange(D)[None, :] < deg[:, None]
+        idx = np.where(valid, pos, 0)
+        nbr = np.where(
+            valid, col_idx[idx], np.arange(N, dtype=np.int32)[:, None]
+        ).astype(np.int32)
+        nbr_w = np.where(valid, w[idx], 0.0).astype(np.float32)
+        return nbr, nbr_w, deg
 
     def scipy_csr(self):
         """scipy CSR view (for differential tests against the reference's math)."""

@@ -1,0 +1,190 @@
+"""ctypes bindings for the native host-side graph core (graphcore.cpp).
+
+Compiled on first use with g++ (-O3, threads) into the user cache dir; every
+entry point has a numpy fallback in the callers, so the package works — just
+slower on large graphs — when no toolchain is present. Set
+S3GRL_TPU_NO_NATIVE=1 to force the pure-Python paths.
+"""
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+
+_SRC = os.path.join(os.path.dirname(os.path.abspath(__file__)), "graphcore.cpp")
+_LOCK = threading.Lock()
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _cache_dir() -> str:
+    d = os.environ.get(
+        "S3GRL_TPU_NATIVE_CACHE",
+        os.path.expanduser("~/.cache/s3grl_tpu_native"),
+    )
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _build() -> Optional[str]:
+    with open(_SRC, "rb") as f:
+        tag = hashlib.sha256(f.read()).hexdigest()[:16]
+    so_path = os.path.join(_cache_dir(), f"graphcore_{tag}.so")
+    if os.path.exists(so_path):
+        return so_path
+    cmd = [
+        "g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-pthread",
+        "-march=native", _SRC, "-o", so_path + ".tmp",
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(so_path + ".tmp", so_path)
+        return so_path
+    except Exception:
+        return None
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if os.environ.get("S3GRL_TPU_NO_NATIVE"):
+        return None
+    if _LIB is not None or _TRIED:
+        return _LIB
+    with _LOCK:
+        if _LIB is not None or _TRIED:
+            return _LIB
+        _TRIED = True
+        path = _build()
+        if path is None:
+            return None
+        try:
+            lib = ctypes.CDLL(path)
+        except OSError:
+            return None
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        f32p = ctypes.POINTER(ctypes.c_float)
+        i64 = ctypes.c_int64
+        i32 = ctypes.c_int32
+        lib.gc_build_csr.restype = i64
+        lib.gc_build_csr.argtypes = [
+            i64, i64, i32p, i32p, f32p, i32, i32p, i32p, f32p,
+        ]
+        lib.gc_padded_adjacency.restype = None
+        lib.gc_padded_adjacency.argtypes = [
+            i64, i64, i32p, i32p, f32p, i32, i32p, f32p, i32p,
+        ]
+        lib.gc_bfs_sizes.restype = None
+        lib.gc_bfs_sizes.argtypes = [i64, i32p, i32p, i64, i32p, i32, i32, i32p]
+        lib.gc_khop_nodes.restype = None
+        lib.gc_khop_nodes.argtypes = [
+            i64, i32p, i32p, i64, i32p, i32, i32, i32, i32p, i32p,
+        ]
+        _LIB = lib
+        return _LIB
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def _ptr(a: np.ndarray, ctype):
+    return a.ctypes.data_as(ctypes.POINTER(ctype))
+
+
+def build_csr(src: np.ndarray, dst: np.ndarray, w: Optional[np.ndarray],
+              num_nodes: int, coalesce: bool = False):
+    """(row_ptr, col_idx, weights) or None if the native lib is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, dtype=np.int32)
+    dst = np.ascontiguousarray(dst, dtype=np.int32)
+    e = len(src)
+    wc = (
+        np.ascontiguousarray(w, dtype=np.float32)
+        if w is not None
+        else np.ones(e, dtype=np.float32)
+    )
+    row_ptr = np.empty(num_nodes + 1, dtype=np.int32)
+    col = np.empty(e, dtype=np.int32)
+    wout = np.empty(e, dtype=np.float32)
+    n_out = lib.gc_build_csr(
+        num_nodes, e, _ptr(src, ctypes.c_int32), _ptr(dst, ctypes.c_int32),
+        _ptr(wc, ctypes.c_float), int(coalesce),
+        _ptr(row_ptr, ctypes.c_int32), _ptr(col, ctypes.c_int32),
+        _ptr(wout, ctypes.c_float),
+    )
+    return row_ptr, col[:n_out].copy(), wout[:n_out].copy()
+
+
+def padded_adjacency(row_ptr: np.ndarray, col_idx: np.ndarray,
+                     w: Optional[np.ndarray], max_degree: int,
+                     threads: int = 0):
+    """(nbr [N, D], nbr_w [N, D], deg [N]) or None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(row_ptr) - 1
+    row_ptr = np.ascontiguousarray(row_ptr, dtype=np.int32)
+    col_idx = np.ascontiguousarray(col_idx, dtype=np.int32)
+    wc = (
+        np.ascontiguousarray(w, dtype=np.float32)
+        if w is not None
+        else np.ones(len(col_idx), dtype=np.float32)
+    )
+    nbr = np.empty((n, max_degree), dtype=np.int32)
+    nbr_w = np.empty((n, max_degree), dtype=np.float32)
+    deg = np.empty(n, dtype=np.int32)
+    lib.gc_padded_adjacency(
+        n, max_degree, _ptr(row_ptr, ctypes.c_int32),
+        _ptr(col_idx, ctypes.c_int32), _ptr(wc, ctypes.c_float), threads,
+        _ptr(nbr, ctypes.c_int32), _ptr(nbr_w, ctypes.c_float),
+        _ptr(deg, ctypes.c_int32),
+    )
+    return nbr, nbr_w, deg
+
+
+def bfs_sizes(row_ptr: np.ndarray, col_idx: np.ndarray, links: np.ndarray,
+              hops: int, threads: int = 0) -> Optional[np.ndarray]:
+    """Per-link full-BFS k-hop subgraph sizes [L], or None if unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(row_ptr) - 1
+    row_ptr = np.ascontiguousarray(row_ptr, dtype=np.int32)
+    col_idx = np.ascontiguousarray(col_idx, dtype=np.int32)
+    links = np.ascontiguousarray(links, dtype=np.int32)
+    L = len(links)
+    out = np.empty(L, dtype=np.int32)
+    lib.gc_bfs_sizes(
+        n, _ptr(row_ptr, ctypes.c_int32), _ptr(col_idx, ctypes.c_int32),
+        L, _ptr(links, ctypes.c_int32), hops, threads,
+        _ptr(out, ctypes.c_int32),
+    )
+    return out
+
+
+def khop_nodes(row_ptr: np.ndarray, col_idx: np.ndarray, links: np.ndarray,
+               hops: int, max_nodes: int, threads: int = 0):
+    """(nodes [L, max_nodes] padded with -1, sizes [L]) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = len(row_ptr) - 1
+    row_ptr = np.ascontiguousarray(row_ptr, dtype=np.int32)
+    col_idx = np.ascontiguousarray(col_idx, dtype=np.int32)
+    links = np.ascontiguousarray(links, dtype=np.int32)
+    L = len(links)
+    nodes = np.empty((L, max_nodes), dtype=np.int32)
+    sizes = np.empty(L, dtype=np.int32)
+    lib.gc_khop_nodes(
+        n, _ptr(row_ptr, ctypes.c_int32), _ptr(col_idx, ctypes.c_int32),
+        L, _ptr(links, ctypes.c_int32), hops, max_nodes, threads,
+        _ptr(nodes, ctypes.c_int32), _ptr(sizes, ctypes.c_int32),
+    )
+    return nodes, sizes

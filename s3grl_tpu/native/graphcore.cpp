@@ -1,0 +1,212 @@
+// Native host-side graph core for s3grl_tpu.
+//
+// The TPU compute path is JAX/XLA/Pallas; this library is the *runtime
+// around it* — the host-side equivalents of the C++ extension ops the
+// reference leans on (torch_sparse CSR construction, scipy CSR slicing,
+// multi-worker DataLoader extraction; SURVEY.md §2b):
+//
+//   gc_build_csr          edge list -> CSR (counting sort, optional coalesce)
+//   gc_padded_adjacency   CSR -> static padded neighbor table (device layout)
+//   gc_bfs_sizes          per-link k-hop subgraph sizes, std::thread parallel
+//                         (the bucketing oracle for the batched extractor)
+//   gc_khop_nodes         per-link k-hop node sets in BFS order (host-side
+//                         dynamic extraction, reference utils.py:47-84)
+//
+// Exposed through a plain C ABI and loaded via ctypes (native/__init__.py);
+// every entry point has a pure-numpy fallback so the package never hard-
+// depends on a compiler being present.
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <thread>
+#include <vector>
+
+namespace {
+
+int hw_threads(int requested) {
+  if (requested > 0) return requested;
+  unsigned n = std::thread::hardware_concurrency();
+  return n ? static_cast<int>(n) : 4;
+}
+
+// Parallel-for over [0, n) with a shared atomic cursor (dynamic scheduling:
+// per-link BFS cost is skewed, static chunking would straggle).
+template <typename F>
+void parallel_for(int64_t n, int threads, F&& body) {
+  threads = std::min<int64_t>(hw_threads(threads), std::max<int64_t>(n, 1));
+  if (threads <= 1) {
+    for (int64_t i = 0; i < n; ++i) body(i, 0);
+    return;
+  }
+  std::atomic<int64_t> cursor{0};
+  std::vector<std::thread> pool;
+  pool.reserve(threads);
+  for (int t = 0; t < threads; ++t) {
+    pool.emplace_back([&, t] {
+      for (;;) {
+        int64_t i = cursor.fetch_add(1, std::memory_order_relaxed);
+        if (i >= n) return;
+        body(i, t);
+      }
+    });
+  }
+  for (auto& th : pool) th.join();
+}
+
+// One BFS workspace per thread: timestamped visited marks (no clearing
+// between links) + frontier queues.
+struct BfsScratch {
+  std::vector<int32_t> stamp;
+  std::vector<int32_t> frontier, next;
+  int32_t clock = 0;
+  explicit BfsScratch(int64_t n) : stamp(n, -1) {
+    frontier.reserve(1024);
+    next.reserve(1024);
+  }
+};
+
+// Shared BFS: expands `hops` rings from {src, dst}; returns visited count.
+// If `nodes_out` != nullptr, writes up to `max_nodes` visited ids in
+// BFS order (src, dst first — matching utils.py:52-74 fringe expansion with
+// per-hop sorted order) and returns the *untruncated* size.
+int32_t bfs_link(const int32_t* row_ptr, const int32_t* col_idx, int32_t src,
+                 int32_t dst, int hops, BfsScratch& ws, int32_t* nodes_out,
+                 int32_t max_nodes) {
+  const int32_t tick = ws.clock++;
+  ws.frontier.clear();
+  int32_t count = 0;
+  auto visit = [&](int32_t v) {
+    if (ws.stamp[v] == tick) return false;
+    ws.stamp[v] = tick;
+    if (nodes_out && count < max_nodes) nodes_out[count] = v;
+    ++count;
+    return true;
+  };
+  visit(src);
+  ws.frontier.push_back(src);
+  if (dst != src && visit(dst)) ws.frontier.push_back(dst);
+  for (int h = 0; h < hops && !ws.frontier.empty(); ++h) {
+    ws.next.clear();
+    for (int32_t u : ws.frontier) {
+      for (int32_t p = row_ptr[u]; p < row_ptr[u + 1]; ++p) {
+        int32_t v = col_idx[p];
+        if (visit(v)) ws.next.push_back(v);
+      }
+    }
+    // Reference parity: each hop's fringe is added in sorted node order
+    // (utils.py:74 `nodes += sorted(fringe)` via set iteration of scipy
+    // indices; sorted is the deterministic contract our extractor uses).
+    std::sort(ws.next.begin(), ws.next.end());
+    std::swap(ws.frontier, ws.next);
+  }
+  return count;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Edge list -> CSR sorted by (row, col). Returns number of output edges
+// (== e unless coalesce != 0, in which case duplicate (row,col) pairs are
+// weight-summed). Buffers: row_ptr [n+1], out_col [e], out_w [e].
+int64_t gc_build_csr(int64_t n, int64_t e, const int32_t* src,
+                     const int32_t* dst, const float* w, int coalesce,
+                     int32_t* row_ptr, int32_t* out_col, float* out_w) {
+  std::vector<int64_t> cnt(n + 1, 0);
+  for (int64_t i = 0; i < e; ++i) ++cnt[src[i] + 1];
+  for (int64_t r = 0; r < n; ++r) cnt[r + 1] += cnt[r];
+  std::vector<int32_t> col(e);
+  std::vector<float> wv(e);
+  {
+    std::vector<int64_t> cursor(cnt.begin(), cnt.end() - 1);
+    for (int64_t i = 0; i < e; ++i) {
+      int64_t p = cursor[src[i]]++;
+      col[p] = dst[i];
+      wv[p] = w ? w[i] : 1.0f;
+    }
+  }
+  // Sort each row's columns (counting sort left them in input order).
+  std::vector<int64_t> perm;
+  int64_t out = 0;
+  for (int64_t r = 0; r < n; ++r) {
+    int64_t s = cnt[r], t = cnt[r + 1];
+    perm.resize(t - s);
+    for (int64_t i = 0; i < t - s; ++i) perm[i] = s + i;
+    std::sort(perm.begin(), perm.end(),
+              [&](int64_t a, int64_t b) { return col[a] < col[b]; });
+    int64_t row_start = out;
+    for (int64_t i = 0; i < t - s; ++i) {
+      int32_t c = col[perm[i]];
+      float wc = wv[perm[i]];
+      if (coalesce && out > row_start && out_col[out - 1] == c) {
+        out_w[out - 1] += wc;
+      } else {
+        out_col[out] = c;
+        out_w[out] = wc;
+        ++out;
+      }
+    }
+    row_ptr[r] = static_cast<int32_t>(row_start);
+  }
+  row_ptr[n] = static_cast<int32_t>(out);
+  // row_ptr currently holds starts; convert: starts are already cumulative.
+  return out;
+}
+
+// CSR -> padded neighbor table. nbr [n, d] (self-padded), nbr_w [n, d]
+// (0 on padding), deg_out [n] = min(degree, d).
+void gc_padded_adjacency(int64_t n, int64_t d, const int32_t* row_ptr,
+                         const int32_t* col_idx, const float* w, int threads,
+                         int32_t* nbr, float* nbr_w, int32_t* deg_out) {
+  parallel_for(n, threads, [&](int64_t r, int) {
+    int64_t s = row_ptr[r], t = row_ptr[r + 1];
+    int64_t deg = std::min<int64_t>(t - s, d);
+    int32_t* nr = nbr + r * d;
+    float* nw = nbr_w + r * d;
+    for (int64_t i = 0; i < deg; ++i) {
+      nr[i] = col_idx[s + i];
+      nw[i] = w ? w[s + i] : 1.0f;
+    }
+    for (int64_t i = deg; i < d; ++i) {
+      nr[i] = static_cast<int32_t>(r);
+      nw[i] = 0.0f;
+    }
+    deg_out[r] = static_cast<int32_t>(deg);
+  });
+}
+
+// Per-link k-hop subgraph sizes (full BFS, no sampling): sizes_out [L].
+void gc_bfs_sizes(int64_t n, const int32_t* row_ptr, const int32_t* col_idx,
+                  int64_t L, const int32_t* links, int hops, int threads,
+                  int32_t* sizes_out) {
+  int T = hw_threads(threads);
+  std::vector<BfsScratch> scratch;
+  scratch.reserve(T);
+  for (int t = 0; t < T; ++t) scratch.emplace_back(n);
+  parallel_for(L, T, [&](int64_t i, int t) {
+    sizes_out[i] = bfs_link(row_ptr, col_idx, links[2 * i], links[2 * i + 1],
+                            hops, scratch[t], nullptr, 0);
+  });
+}
+
+// Per-link k-hop node sets in BFS order: nodes_out [L, max_nodes]
+// (padded with -1), sizes_out [L] = untruncated size.
+void gc_khop_nodes(int64_t n, const int32_t* row_ptr, const int32_t* col_idx,
+                   int64_t L, const int32_t* links, int hops,
+                   int32_t max_nodes, int threads, int32_t* nodes_out,
+                   int32_t* sizes_out) {
+  int T = hw_threads(threads);
+  std::vector<BfsScratch> scratch;
+  scratch.reserve(T);
+  for (int t = 0; t < T; ++t) scratch.emplace_back(n);
+  parallel_for(L, T, [&](int64_t i, int t) {
+    int32_t* row = nodes_out + i * max_nodes;
+    std::fill(row, row + max_nodes, -1);
+    sizes_out[i] = bfs_link(row_ptr, col_idx, links[2 * i], links[2 * i + 1],
+                            hops, scratch[t], row, max_nodes);
+  });
+}
+
+}  // extern "C"

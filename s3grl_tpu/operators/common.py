@@ -61,6 +61,21 @@ class OperatorDataset:
             y=np.concatenate([self.y, other.y], axis=0),
         )
 
+    def save(self, path: str) -> None:
+        """Persist as npz — the analog of the reference's processed
+        ``SEAL_{split}_data.pt`` artifacts (sgrl_link_pred.py:87-94)."""
+        import os
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        tmp = path + ".tmp.npz"
+        np.savez_compressed(tmp, xs=self.xs, row_mask=self.row_mask, y=self.y)
+        os.replace(tmp, path)
+
+    @classmethod
+    def load(cls, path: str) -> "OperatorDataset":
+        with np.load(path) as z:
+            return cls(xs=z["xs"], row_mask=z["row_mask"], y=z["y"])
+
     def hybrid_with(self, sop: "OperatorDataset") -> "OperatorDataset":
         """Hybrid PoS+SoP: append SoP operators x2..xK as x{K+1}..x{2K-1}
         (reference: utils.py:476-477, data[f'x{k}'] = sop x{k - K + 1}).

@@ -331,7 +331,24 @@ def measure_subgraph_sizes(
     max_nodes_per_hop: Optional[int] = None,
     batch_size: int = 512,
 ) -> np.ndarray:
-    """Sizing pass: BFS only, returns per-link subgraph node counts [L]."""
+    """Sizing pass: BFS only, returns per-link subgraph node counts [L].
+
+    With no per-hop sampling (the default configs) the sizes are exact BFS
+    counts, computed by the threaded native core on the host (no device
+    round-trip); otherwise the sampled sizing runs on device with the same
+    seeded down-sampling the extractor uses.
+    """
+    if ratio_per_hop == 1.0 and max_nodes_per_hop is None:
+        from s3grl_tpu import native
+
+        if native.available():
+            csr = native.build_csr(
+                np.asarray(dg.edge_src), np.asarray(dg.edge_dst), None,
+                dg.num_nodes,
+            )
+            if csr is not None:
+                return native.bfs_sizes(csr[0], csr[1], links, num_hops)
+
     L = links.shape[0]
     if link_seeds is None:
         link_seeds = np.arange(L, dtype=np.int32)

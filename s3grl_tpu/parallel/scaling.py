@@ -1,0 +1,197 @@
+"""Weak-scaling harness: edges/s through precompute + train vs device count.
+
+BASELINE.md's north-star metric: >=80% weak-scaling efficiency on edges/s
+(precompute + train) from 1 chip -> N chips. Weak scaling: the per-device
+link load is fixed, so ideal scaling processes N x the links in constant
+wall time; efficiency = (rate_N / N) / rate_1.
+
+Run: ``python -m s3grl_tpu.parallel.scaling [--devices 1 2 4 8]``.
+On a CPU host mesh (XLA_FLAGS=--xla_force_host_platform_device_count=8)
+this validates the harness + shardings; real numbers need real chips.
+Prints one JSON line per device count plus a summary line.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import numpy as np
+
+from s3grl_tpu.data.graph import Graph
+from s3grl_tpu.parallel.dist import precompute_pos_sharded, precompute_sop_sharded
+from s3grl_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from s3grl_tpu.sampling.extraction import DeviceGraph
+
+
+def _synthetic_graph(rng, n_nodes: int, avg_degree: int, f: int) -> Graph:
+    e = n_nodes * avg_degree // 2
+    src = rng.integers(0, n_nodes, e)
+    dst = rng.integers(0, n_nodes, e)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    return Graph(
+        edge_index=np.stack(
+            [np.concatenate([src, dst]), np.concatenate([dst, src])]
+        ),
+        num_nodes=n_nodes,
+        x=rng.normal(size=(n_nodes, f)).astype(np.float32),
+    )
+
+
+def _train_rate(mesh, ds, epochs: int, hidden: int, seed: int) -> float:
+    """Links/s through sharded SIGNNet training on an OperatorDataset."""
+    import jax.numpy as jnp
+    import optax
+
+    from s3grl_tpu.models.signnet import SIGNNet
+    from s3grl_tpu.train.loop import bce_with_logits, make_optimizer
+
+    n_data = mesh.shape["data"]
+    L = len(ds.y)
+    batch = max(32 // n_data, 8) * n_data
+    model = SIGNNet(hidden_channels=hidden, num_layers=ds.xs.shape[1] - 1,
+                    dropout=0.5)
+    key = jax.random.PRNGKey(seed)
+    xs0 = jnp.asarray(ds.xs[:batch].reshape(batch, -1, ds.xs.shape[-1]))
+    rm0 = jnp.asarray(np.repeat(ds.row_mask[:batch],
+                                ds.xs.shape[1], axis=1))
+    variables = model.init({"params": key, "dropout": key}, xs0, rm0, train=True)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = make_optimizer(1e-3)
+    opt_state = tx.init(params)
+    params = replicate(mesh, params)
+    batch_stats = replicate(mesh, batch_stats)
+    opt_state = replicate(mesh, opt_state)
+
+    @jax.jit
+    def train_step(params, batch_stats, opt_state, xs, rm, y, key):
+        def loss_fn(p):
+            out, mut = model.apply(
+                {"params": p, "batch_stats": batch_stats}, xs, rm,
+                train=True, rngs={"dropout": key}, mutable=["batch_stats"],
+            )
+            return bce_with_logits(out, y).mean(), mut["batch_stats"]
+
+        (loss, bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), bs, opt_state, loss
+
+    steps = max(L // batch, 1)
+    K = ds.xs.shape[1]
+
+    def batches():
+        for s in range(steps):
+            sl = slice(s * batch, s * batch + batch)
+            xs = ds.xs[sl].reshape(batch, -1, ds.xs.shape[-1])
+            rm = np.repeat(ds.row_mask[sl], K, axis=1)
+            yield (
+                shard_batch(mesh, xs),
+                shard_batch(mesh, rm),
+                shard_batch(mesh, ds.y[sl]),
+            )
+
+    # Warmup (compile)
+    for xs, rm, yb in batches():
+        params, batch_stats, opt_state, loss = train_step(
+            params, batch_stats, opt_state, xs, rm, yb, jax.random.PRNGKey(0)
+        )
+        break
+    loss.block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(epochs):
+        for xs, rm, yb in batches():
+            params, batch_stats, opt_state, loss = train_step(
+                params, batch_stats, opt_state, xs, rm, yb,
+                jax.random.PRNGKey(1),
+            )
+    loss.block_until_ready()
+    dt = time.perf_counter() - t0
+    return epochs * steps * batch / dt
+
+
+def measure(
+    n_devices: int,
+    links_per_device: int = 512,
+    n_nodes: int = 4000,
+    avg_degree: int = 12,
+    f: int = 32,
+    sign_k: int = 3,
+    epochs: int = 3,
+    seed: int = 0,
+) -> dict:
+    rng = np.random.default_rng(seed)
+    mesh = make_mesh(n_data=n_devices, devices=jax.devices()[:n_devices])
+    g = _synthetic_graph(rng, n_nodes, avg_degree, f)
+    dg = DeviceGraph.from_graph(g)
+    L = links_per_device * n_devices
+    links = rng.integers(0, n_nodes, (L, 2)).astype(np.int32)
+    y = rng.integers(0, 2, L).astype(np.float32)
+
+    kw = dict(num_hops=2, sign_k=sign_k, buckets=(64, 128, 256),
+              batch_size=128 * n_devices, max_subgraph_nodes=256, seed=seed)
+    # Warmup compiles
+    precompute_pos_sharded(mesh, dg, links[: 128 * n_devices],
+                           y[: 128 * n_devices], **kw)
+    t0 = time.perf_counter()
+    ds_pos = precompute_pos_sharded(mesh, dg, links, y, **kw)
+    t_pos = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    precompute_sop_sharded(mesh, dg, links, y, sign_k=sign_k)
+    t_sop = time.perf_counter() - t0
+
+    train_rate = _train_rate(mesh, ds_pos, epochs=epochs, hidden=64, seed=seed)
+
+    return {
+        "devices": n_devices,
+        "links": L,
+        "pos_links_per_sec": round(L / t_pos, 2),
+        "sop_links_per_sec": round(L / t_sop, 2),
+        "train_links_per_sec": round(train_rate, 2),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--devices", type=int, nargs="*", default=None)
+    ap.add_argument("--links_per_device", type=int, default=512)
+    ap.add_argument("--nodes", type=int, default=4000)
+    args = ap.parse_args()
+    avail = len(jax.devices())
+    counts = args.devices or [d for d in (1, 2, 4, 8) if d <= avail]
+    skipped = [d for d in counts if d > avail]
+    if skipped:
+        print(json.dumps({
+            "skipped_device_counts": skipped,
+            "available_devices": avail,
+            "hint": "JAX_PLATFORMS=cpu with jax.config jax_platforms=cpu "
+                    "and XLA_FLAGS=--xla_force_host_platform_device_count=N "
+                    "for a virtual mesh",
+        }))
+        counts = [d for d in counts if d <= avail]
+    results = []
+    for n in counts:
+        r = measure(n, links_per_device=args.links_per_device,
+                    n_nodes=args.nodes)
+        results.append(r)
+        print(json.dumps(r))
+    if len(results) > 1:
+        base = results[0]
+        eff = {}
+        for key in ("pos_links_per_sec", "sop_links_per_sec",
+                    "train_links_per_sec"):
+            r_n = results[-1]
+            eff[key] = round(
+                (r_n[key] / r_n["devices"]) / max(base[key], 1e-9), 3
+            )
+        print(json.dumps({"weak_scaling_efficiency": eff,
+                          "from": base["devices"],
+                          "to": results[-1]["devices"]}))
+
+
+if __name__ == "__main__":
+    main()

@@ -9,6 +9,7 @@ Returns the reference's result tuple shape:
 """
 from __future__ import annotations
 
+import os
 import time
 from typing import Optional, Tuple
 
@@ -27,6 +28,36 @@ from s3grl_tpu.train.logger import Logger
 from s3grl_tpu.train.loop import fit_signnet
 from s3grl_tpu.train.metrics import evaluate_auc
 from s3grl_tpu.utils.seeding import seed_everything
+
+
+def _dataset_cache_path(cfg: RunConfig, split: str) -> str:
+    """Cache file for one split's precomputed operator dataset.
+
+    Fingerprint = every config field that changes the precompute output
+    (dataset identity, split sampling, extraction, labeling, operators).
+    ``delete_dataset=True`` (all paper suites) disables reuse — the
+    reference's force-a-fresh-processed-dataset semantics.
+    """
+    import hashlib
+
+    keys = (
+        "dataset", "seed", "split_val_ratio", "split_test_ratio", "neg_ratio",
+        "train_percent", "val_percent", "test_percent", "num_hops",
+        "ratio_per_hop", "max_nodes_per_hop", "node_label", "use_feature",
+        "use_edge_weight", "init_features", "n2v_dim", "init_representation",
+        "sign_k", "sign_type", "optimize_sign", "k_heuristic",
+        "k_node_set_strategy", "max_ccn_nodes", "m", "M", "dataset_split_num",
+        "max_subgraph_nodes", "data_appendix",
+    )
+    blob = repr([(k, getattr(cfg, k)) for k in keys]) + repr(
+        tuple(cfg.subgraph_buckets)
+    )
+    tag = hashlib.sha256(blob.encode()).hexdigest()[:16]
+    root = os.environ.get(
+        "S3GRL_TPU_DATASET_CACHE",
+        os.path.expanduser("~/.cache/s3grl_tpu_datasets"),
+    )
+    return os.path.join(root, f"{cfg.dataset}_{split}_{tag}.npz")
 
 
 def build_split_links(
@@ -137,7 +168,14 @@ def run_sgrl_learning(
         ("test", cfg.test_percent),
     ):
         links, y = build_split_links(split, edge_split, percent, rng)
+        cache_path = None if cfg.delete_dataset else _dataset_cache_path(cfg, split)
+        if cache_path and os.path.exists(cache_path):
+            # Processed-artifact reload (reference sgrl_link_pred.py:84-94).
+            datasets[split] = OperatorDataset.load(cache_path)
+            continue
         datasets[split] = precompute_split(dg, links, y, cfg)
+        if cache_path:
+            datasets[split].save(cache_path)
     total_prep_time = time.perf_counter() - t_prep0
 
     num_layers = cfg.sign_k

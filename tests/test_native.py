@@ -1,0 +1,105 @@
+"""Native graph core (C++/ctypes) vs scipy / device-path oracles."""
+import numpy as np
+import pytest
+
+from s3grl_tpu import native
+
+pytestmark = pytest.mark.skipif(
+    not native.available(), reason="native graphcore not built"
+)
+
+
+def _coo(rng, n, e):
+    src = rng.integers(0, n, e).astype(np.int32)
+    dst = rng.integers(0, n, e).astype(np.int32)
+    w = rng.random(e).astype(np.float32)
+    return src, dst, w
+
+
+def test_build_csr_matches_scipy():
+    import scipy.sparse as ssp
+
+    rng = np.random.default_rng(0)
+    n, e = 700, 5000
+    src, dst, w = _coo(rng, n, e)
+    rp, ci, wv = native.build_csr(src, dst, w, n, coalesce=True)
+    ref = ssp.csr_matrix((w, (src, dst)), shape=(n, n))
+    ref.sum_duplicates()
+    ref.sort_indices()
+    np.testing.assert_array_equal(rp, ref.indptr)
+    np.testing.assert_array_equal(ci, ref.indices)
+    np.testing.assert_allclose(wv, ref.data, atol=1e-5)
+
+
+def test_padded_adjacency_matches_python_fallback():
+    import os
+
+    from s3grl_tpu.data.graph import Graph, to_undirected
+
+    rng = np.random.default_rng(1)
+    src, dst, _ = _coo(rng, 200, 900)
+    ei = to_undirected(np.stack([src, dst]))
+    g_native = Graph(edge_index=ei, num_nodes=200)
+    nat = g_native.padded_adjacency()
+
+    os.environ["S3GRL_TPU_NO_NATIVE"] = "1"
+    try:
+        # New Graph (cached_property) with native disabled -> numpy fallback.
+        g_py = Graph(edge_index=ei, num_nodes=200)
+        py = g_py.padded_adjacency()
+    finally:
+        del os.environ["S3GRL_TPU_NO_NATIVE"]
+    for a, b in zip(nat, py):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_bfs_sizes_match_device_sizing_pass():
+    from s3grl_tpu.data.graph import Graph, to_undirected
+    from s3grl_tpu.operators.pos import measure_subgraph_sizes
+    from s3grl_tpu.sampling.extraction import DeviceGraph
+
+    rng = np.random.default_rng(2)
+    src, dst, _ = _coo(rng, 300, 1200)
+    keep = src != dst
+    ei = to_undirected(np.stack([src[keep], dst[keep]]))
+    g = Graph(edge_index=ei, num_nodes=300,
+              x=rng.normal(size=(300, 4)).astype(np.float32))
+    dg = DeviceGraph.from_graph(g)
+    links = rng.integers(0, 300, (64, 2)).astype(np.int32)
+
+    # Native host path (ratio=1, no cap -> exact BFS)
+    got = measure_subgraph_sizes(dg, links, num_hops=2)
+
+    # Force the device path for the oracle
+    rp, ci, _ = g.csr
+
+    def py_bfs(s, d, hops):
+        vis = {int(s), int(d)}
+        fr = set(vis)
+        for _ in range(hops):
+            nxt = set()
+            for u in fr:
+                nxt.update(ci[rp[u]:rp[u + 1]].tolist())
+            fr = nxt - vis
+            vis |= fr
+        return len(vis)
+
+    want = np.array([py_bfs(a, b, 2) for a, b in links], dtype=np.int32)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_khop_nodes_truncation_and_order():
+    rng = np.random.default_rng(3)
+    n = 120
+    src, dst, _ = _coo(rng, n, 600)
+    rp, ci, _ = native.build_csr(src, dst, None, n)
+    links = rng.integers(0, n, (10, 2)).astype(np.int32)
+    nodes, sizes = native.khop_nodes(rp, ci, links, 2, max_nodes=16)
+    full_sizes = native.bfs_sizes(rp, ci, links, 2)
+    np.testing.assert_array_equal(sizes, full_sizes)  # untruncated count
+    for i, (s, d) in enumerate(links):
+        row = nodes[i]
+        kept = row[row >= 0]
+        assert row[0] == s
+        assert len(kept) == min(sizes[i], 16)
+        assert len(set(kept.tolist())) == len(kept)  # no dup slots
