@@ -124,7 +124,19 @@ def main():
 
     t0 = time.perf_counter()
     ds = {s: precompute_pos(dg, l, y, **kw) for s, (l, y) in splits.items()}
+    import jax
+
+    jax.block_until_ready(ds["train"].xs)
     t_precompute = time.perf_counter() - t0
+
+    # Warm the training path too (compile train/predict programs once —
+    # steady-state measurement, same rationale as the precompute warmup).
+    fit_signnet(
+        ds["train"], ds["valid"], ds["test"],
+        sign_k=cfg.sign_k, hidden_channels=cfg.hidden_channels,
+        batch_size=cfg.batch_size, lr=cfg.lr, epochs=1,
+        dropout=cfg.dropout, seed=cfg.seed,
+    )
 
     t1 = time.perf_counter()
     fit = fit_signnet(

@@ -186,6 +186,54 @@ def load_mat_splitted(
     return g, split
 
 
+GEOM_GCN_DATASETS = (
+    "Cornell", "Texas", "Wisconsin",  # WebKB (sgrl_link_pred.py:906-908)
+    "chameleon", "crocodile", "squirrel",  # WikipediaNetwork (:896-898)
+    "film",
+)
+
+
+def load_geom_gcn(data_root: str, name: str, normalize: bool = True) -> Graph:
+    """WebKB / WikipediaNetwork loader from geom-gcn raw files.
+
+    Same on-disk format the reference's WalkPool loader reads
+    (Software/WalkPooling/src/utils.py:453-524: tab-separated edge list +
+    ``node_id \\t csv-features \\t label``; 'film' features are index lists
+    into a 932-dim binary vector). PyG's WebKB/WikipediaNetwork classes
+    consume the identical raw data, so graphs match the reference's
+    (sgrl_link_pred.py:896-908) up to its NormalizeFeatures transform.
+    """
+    d = os.path.join(data_root, name.lower())
+    feat_path = os.path.join(d, "out1_node_feature_label.txt")
+    edge_path = os.path.join(d, "out1_graph_edges.txt")
+    if not os.path.exists(feat_path):
+        raise FileNotFoundError(
+            f"{name}: geom-gcn raw feature file missing ({feat_path}); the "
+            "reference downloads this dataset at runtime, which requires "
+            "network access."
+        )
+    feats = {}
+    with open(feat_path) as f:
+        f.readline()
+        for line in f:
+            nid, fs, _label = line.rstrip().split("\t")
+            if name.lower() == "film":
+                vec = np.zeros(932, dtype=np.float32)
+                vec[np.array(fs.split(","), dtype=np.int64)] = 1.0
+            else:
+                vec = np.array(fs.split(","), dtype=np.float32)
+            feats[int(nid)] = vec
+    n = max(feats) + 1
+    x = np.zeros((n, len(next(iter(feats.values())))), dtype=np.float32)
+    for nid, vec in feats.items():
+        x[nid] = vec
+    edges = np.loadtxt(edge_path, dtype=np.int64, skiprows=1)
+    ei = to_undirected(edges.T.astype(np.int32))
+    if normalize:
+        x = normalize_features(x)
+    return Graph(edge_index=ei, num_nodes=n, x=x)
+
+
 def load_dataset(
     name: str, data_root: str = "/root/reference/data", normalize: bool = True
 ) -> Graph:
@@ -196,6 +244,19 @@ def load_dataset(
         d.lower() for d in SEAL_TXT_DATASETS
     ]:
         return load_seal_txt(data_root, name)
+    if name in GEOM_GCN_DATASETS or name.lower() in [
+        d.lower() for d in GEOM_GCN_DATASETS
+    ]:
+        for candidate in (
+            os.path.join(data_root, "new_data"),
+            os.path.join(
+                os.path.dirname(data_root.rstrip("/")),
+                "Software", "WalkPooling", "data", "new_data",
+            ),
+        ):
+            if os.path.isdir(os.path.join(candidate, name.lower())):
+                return load_geom_gcn(candidate, name, normalize=normalize)
+        raise FileNotFoundError(f"geom-gcn raw data for {name} not found")
     mat_path = os.path.join(data_root, f"{name}.mat")
     if os.path.exists(mat_path):
         return load_mat_unsplitted(data_root, name)

@@ -6,6 +6,17 @@ from dataclasses import dataclass
 import numpy as np
 
 
+def _xp(a):
+    """numpy-or-jax namespace for ``a`` (device arrays stay on device —
+    D2H over a tunneled TPU runs at ~20 MB/s, so implicit np conversions
+    of large operator tensors are the single worst thing we can do)."""
+    if type(a).__module__.startswith("jax"):
+        import jax.numpy as jnp
+
+        return jnp
+    return np
+
+
 @dataclass
 class OperatorDataset:
     """Precomputed SIGN-style per-link operator features.
@@ -14,14 +25,17 @@ class OperatorDataset:
     with keys x, x1..xK (tuned_SIGN.py:173-185): every link stores R rows
     (2 targets + optional CCN rows) for each of the K+1 operators.
 
+    Arrays may be numpy (host) or jax (device-resident — the precompute
+    drivers keep results on device so training never round-trips the host).
+
     xs:       [L, K+1, R, F'] float  (op 0 = raw trimmed x, ops 1..K = A^k X)
     row_mask: [L, R] bool            (False on padded CCN slots)
     y:        [L] float              labels
     """
 
-    xs: np.ndarray
-    row_mask: np.ndarray
-    y: np.ndarray
+    xs: "np.ndarray"
+    row_mask: "np.ndarray"
+    y: "np.ndarray"
 
     @property
     def num_links(self) -> int:
@@ -52,13 +66,22 @@ class OperatorDataset:
         else:
             ops = self.xs[:, : sign_k + 1]
         L, O, R, F = ops.shape
-        return np.transpose(ops, (0, 2, 1, 3)).reshape(L, R, O * F)
+        return ops.transpose(0, 2, 1, 3).reshape(L, R, O * F)
 
     def concat(self, other: "OperatorDataset") -> "OperatorDataset":
+        xp = _xp(self.xs)
         return OperatorDataset(
-            xs=np.concatenate([self.xs, other.xs], axis=0),
-            row_mask=np.concatenate([self.row_mask, other.row_mask], axis=0),
-            y=np.concatenate([self.y, other.y], axis=0),
+            xs=xp.concatenate([self.xs, other.xs], axis=0),
+            row_mask=xp.concatenate([self.row_mask, other.row_mask], axis=0),
+            y=np.concatenate([np.asarray(self.y), np.asarray(other.y)], axis=0),
+        )
+
+    def to_host(self) -> "OperatorDataset":
+        """Materialize on host (ONE bulk transfer per array)."""
+        return OperatorDataset(
+            xs=np.asarray(self.xs),
+            row_mask=np.asarray(self.row_mask),
+            y=np.asarray(self.y),
         )
 
     def save(self, path: str) -> None:
@@ -66,9 +89,10 @@ class OperatorDataset:
         ``SEAL_{split}_data.pt`` artifacts (sgrl_link_pred.py:87-94)."""
         import os
 
+        host = self.to_host()
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         tmp = path + ".tmp.npz"
-        np.savez_compressed(tmp, xs=self.xs, row_mask=self.row_mask, y=self.y)
+        np.savez_compressed(tmp, xs=host.xs, row_mask=host.row_mask, y=host.y)
         os.replace(tmp, path)
 
     @classmethod
@@ -82,18 +106,23 @@ class OperatorDataset:
         Requires equal R (vanilla PoS, R=2)."""
         assert self.num_links == sop.num_links
         assert self.num_rows == sop.num_rows, "hybrid requires vanilla PoS (R=2)"
+        xp = _xp(self.xs)
         extra = sop.xs[:, 2:]
         f = max(self.feature_dim, sop.feature_dim)
 
         def pad(a):
             if a.shape[-1] == f:
                 return a
-            out = np.zeros(a.shape[:-1] + (f,), dtype=a.dtype)
-            out[..., : a.shape[-1]] = a
-            return out
+            widths = [(0, 0)] * (a.ndim - 1) + [(0, f - a.shape[-1])]
+            return _xp(a).pad(a, widths)
 
+        a, b = pad(self.xs), pad(extra)
+        if _xp(a) is not _xp(b):  # mixed host/device -> join on device
+            import jax.numpy as jnp
+
+            a, b, xp = jnp.asarray(a), jnp.asarray(b), jnp
         return OperatorDataset(
-            xs=np.concatenate([pad(self.xs), pad(extra)], axis=1),
+            xs=xp.concatenate([a, b], axis=1),
             row_mask=self.row_mask,
             y=self.y,
         )

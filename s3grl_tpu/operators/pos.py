@@ -51,6 +51,7 @@ from s3grl_tpu.sampling.extraction import (
         "strategy",
         "rw_m",
         "rw_M",
+        "use_pallas",
     ),
 )
 def _extract_and_operate(
@@ -67,6 +68,7 @@ def _extract_and_operate(
     strategy: str,
     rw_m: int = 0,
     rw_M: int = 0,
+    use_pallas: bool = False,
 ):
     """Fused extraction + PoS operators: one dispatch per link batch.
 
@@ -77,6 +79,27 @@ def _extract_and_operate(
 
         sub = extract_rw_subgraphs(
             dg, links, link_seeds, rw_m=rw_m, rw_M=rw_M, max_nodes=max_nodes
+        )
+    elif use_pallas:
+        # Fast path: stop extraction at the node SET (BFS + top-k select)
+        # and let the fused kernel densify straight from the global
+        # neighbor table — the global->local remap gather of
+        # assemble_local_structure (the measured extraction bottleneck,
+        # ~97% of its time) never happens.
+        from s3grl_tpu.sampling.extraction import extract_node_sets
+
+        nodes, node_mask, _, _ = extract_node_sets(
+            dg,
+            links,
+            num_hops=num_hops,
+            max_nodes=max_nodes,
+            ratio_per_hop=ratio_per_hop,
+            max_nodes_per_hop=max_nodes_per_hop,
+            link_seeds=link_seeds,
+        )
+        return pos_operators_global(
+            dg, links, nodes, node_mask,
+            sign_k=sign_k, max_ccn=max_ccn, strategy=strategy,
         )
     else:
         sub = extract_subgraphs(
@@ -89,11 +112,14 @@ def _extract_and_operate(
             link_seeds=link_seeds,
         )
     return pos_operators(
-        sub, dg.x, sign_k=sign_k, max_ccn=max_ccn, strategy=strategy
+        sub, dg.x, sign_k=sign_k, max_ccn=max_ccn, strategy=strategy,
+        use_pallas=use_pallas,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("sign_k", "max_ccn", "strategy"))
+@functools.partial(
+    jax.jit, static_argnames=("sign_k", "max_ccn", "strategy", "use_pallas")
+)
 def pos_operators(
     sub: SubgraphBatch,
     x_global: jax.Array,  # [N, F]
@@ -101,10 +127,13 @@ def pos_operators(
     sign_k: int,
     max_ccn: int = 0,
     strategy: str = "",
+    use_pallas: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Compute PoS(+) operator features for one extracted batch.
 
     Returns (xs [B, K+1, R, F+1], row_mask [B, R]) with R = 2 + max_ccn.
+    ``use_pallas`` routes the power chain through the fused VMEM kernel
+    (auto-selected by the host driver on TPU when the subgraph fits VMEM).
     """
     B, S = sub.nodes.shape
     D = sub.nbr_local.shape[2]
@@ -163,6 +192,18 @@ def pos_operators(
         sel_idx = sel_idx.at[:, 2:].set(jnp.where(ccn_valid, ccn_idx, 0))
         row_mask = row_mask.at[:, 2:].set(ccn_valid)
 
+    if use_pallas:
+        # Fused VMEM kernel: densify Â_sub on-chip, MXU power chain, row
+        # readout (ops/pos_pallas.py). Invalid CCN slots point at row 0;
+        # the row_mask zeroes them afterwards.
+        from s3grl_tpu.ops.pos_pallas import pos_power_rows
+
+        xs = pos_power_rows(
+            sel_idx, sub.nbr_local, sub.nbr_w, subg_x, sign_k=sign_k
+        )
+        xs = xs * row_mask[:, None, :, None]
+        return xs, row_mask
+
     # x (op 0) = subg_x at selected rows (tuned_SIGN.py:181 trimmed_x).
     x0 = subg_x[b_idx[:, None], sel_idx] * row_mask[:, :, None]
 
@@ -202,6 +243,83 @@ def pos_operators(
     return xs, row_mask
 
 
+@functools.partial(jax.jit, static_argnames=("sign_k", "max_ccn", "strategy"))
+def pos_operators_global(
+    dg: DeviceGraph,
+    links: jax.Array,  # [B, 2]
+    nodes: jax.Array,  # [B, S] global node ids (slot 0 = src, 1 = dst)
+    node_mask: jax.Array,  # [B, S]
+    *,
+    sign_k: int,
+    max_ccn: int = 0,
+    strategy: str = "",
+) -> tuple[jax.Array, jax.Array]:
+    """PoS(+) operators straight from node sets + the GLOBAL neighbor table.
+
+    Skips local-structure assembly entirely: the fused Pallas kernel
+    (ops/pos_pallas.py) resolves subgraph membership while densifying —
+    row_ids carry global ids, neighbor entries stay global. Semantics match
+    pos_operators (binary sub-adjacency, target-link removal, CCN selection).
+    """
+    from s3grl_tpu.ops.pos_pallas import pos_power_rows
+
+    B, S = nodes.shape
+    gnbr = dg.nbr[nodes]  # [B, S, D] global neighbor ids (row gather)
+    # Binary adjacency (tuned_SIGN.py:155 implicit 1s); contributions FROM
+    # invalid slots zeroed; membership of the neighbor resolved in-kernel.
+    w = (dg.nbr_mask[nodes] & node_mask[:, :, None]).astype(jnp.float32)
+    # Target-link removal (utils.py:78-80): the (src,dst) edge appears in
+    # src's list as dst and in dst's list as src.
+    w = w.at[:, 0].set(
+        jnp.where(gnbr[:, 0] == links[:, 1][:, None], 0.0, w[:, 0])
+    )
+    w = w.at[:, 1].set(
+        jnp.where(gnbr[:, 1] == links[:, 0][:, None], 0.0, w[:, 1])
+    )
+
+    x_sub = dg.x[nodes] * node_mask[:, :, None]
+    ind = jnp.zeros((B, S, 1)).at[:, :2, :].set(1.0)
+    subg_x = jnp.concatenate([ind, x_sub], axis=-1)
+
+    # --- selected rows (targets + optional CCN) ---
+    R = 2 + max_ccn
+    sel_idx = jnp.zeros((B, R), dtype=jnp.int32).at[:, 1].set(1)
+    row_mask = jnp.zeros((B, R), dtype=bool).at[:, :2].set(True)
+    if max_ccn > 0:
+        # membership: slot j is a 1-hop neighbor of target t iff nodes[j]
+        # appears in t's (link-removed) neighbor list.
+        nbr0 = (
+            (gnbr[:, 0, :, None] == nodes[:, None, :])
+            & (w[:, 0, :, None] > 0)
+        ).any(axis=1)
+        nbr1 = (
+            (gnbr[:, 1, :, None] == nodes[:, None, :])
+            & (w[:, 1, :, None] > 0)
+        ).any(axis=1)
+        if strategy == "union":
+            ccn = nbr0 | nbr1
+        elif strategy == "intersection":
+            ccn = nbr0 & nbr1
+        else:
+            raise NotImplementedError(f"check strat {strategy}")
+        ccn = ccn & node_mask
+        ccn = ccn.at[:, :2].set(False)
+        slot = jnp.arange(S, dtype=jnp.int32)
+        key = jnp.where(ccn, slot[None, :], S + 1)
+        neg, idx = jax.lax.top_k(-key, max_ccn)
+        ccn_valid = (-neg) <= S
+        sel_idx = sel_idx.at[:, 2:].set(
+            jnp.where(ccn_valid, idx.astype(jnp.int32), 0)
+        )
+        row_mask = row_mask.at[:, 2:].set(ccn_valid)
+
+    row_ids = jnp.where(node_mask, nodes, -1)
+    xs = pos_power_rows(
+        sel_idx, gnbr, w, subg_x, sign_k=sign_k, row_ids=row_ids
+    )
+    return xs * row_mask[:, None, :, None], row_mask
+
+
 def precompute_pos(
     dg: DeviceGraph,
     links: np.ndarray,  # [L, 2]
@@ -221,12 +339,17 @@ def precompute_pos(
     size_oracle=None,
     rw_m: int = 0,
     rw_M: int = 0,
+    use_pallas: Optional[bool] = None,
 ) -> OperatorDataset:
     """Host driver: bucket links by subgraph size, run the jitted pipeline.
 
     ``size_oracle`` optionally supplies per-link subgraph sizes (e.g. from a
     prior sizing pass); otherwise a cheap BFS sizing pass runs first so links
     are grouped into shape buckets (less padding waste, fewer recompiles).
+
+    ``use_pallas=None`` auto-selects the fused VMEM operator kernel per
+    bucket on TPU (ops/pos_pallas.py) whenever the padded subgraph working
+    set fits VMEM; smaller/CPU cases keep the XLA gather path.
     """
     assert dg.x is not None, "PoS requires node features (reference parity)"
     L = links.shape[0]
@@ -258,10 +381,20 @@ def precompute_pos(
                 batch_size=max(batch_size, 512),
             )
 
+    D_tab = int(dg.nbr.shape[1])
+    F_feat = int(dg.x.shape[1]) + 1
+
+    def _pallas_for_bucket(bucket_s: int) -> bool:
+        if use_pallas is not None:
+            return bool(use_pallas)
+        if jax.default_backend() != "tpu":
+            return False
+        from s3grl_tpu.ops.pos_pallas import vmem_ok
+
+        return vmem_ok(bucket_s, D_tab, F_feat)
+
     order = np.argsort(sizes, kind="stable")
     F = int(dg.x.shape[1])
-    xs_out = np.empty((L, sign_k + 1, 2 + eff_ccn, F + 1), dtype=np.float32)
-    mask_out = np.empty((L, 2 + eff_ccn), dtype=bool)
 
     # Links grouped by size bucket; per-bucket batch size bounded so the
     # [B, S, F] feature gather and [B, S, S] adjacency stay within budget.
@@ -297,13 +430,26 @@ def precompute_pos(
                 strategy=k_node_set_strategy,
                 rw_m=rw_m,
                 rw_M=rw_M,
+                use_pallas=_pallas_for_bucket(int(bucket)),
             )
             pending.append((idx, bsz, xs, row_mask))
 
-    for idx, bsz, xs, row_mask in pending:
-        xs_out[idx] = np.asarray(xs)[:bsz]
-        mask_out[idx] = np.asarray(row_mask)[:bsz]
-
+    # Assemble ON DEVICE (one concat + one inverse-permutation gather):
+    # results never round-trip the host — D2H on a tunneled TPU runs at
+    # ~20 MB/s with a ~250 ms latency floor, and training consumes device
+    # arrays directly.
+    idx_cat = np.concatenate([idx for idx, _, _, _ in pending])
+    inv = np.empty(L, dtype=np.int32)
+    inv[idx_cat] = np.arange(L, dtype=np.int32)
+    inv_dev = jnp.asarray(inv)
+    xs_out = jnp.take(
+        jnp.concatenate([xs[:bsz] for _, bsz, xs, _ in pending], axis=0),
+        inv_dev, axis=0,
+    )
+    mask_out = jnp.take(
+        jnp.concatenate([m[:bsz] for _, bsz, _, m in pending], axis=0),
+        inv_dev, axis=0,
+    )
     return OperatorDataset(
         xs=xs_out, row_mask=mask_out, y=np.asarray(y, dtype=np.float32)
     )

@@ -149,7 +149,7 @@ def precompute_sop(
         # [2B, N] propagation state is the memory driver; budget ~192 MB.
         batch_size = max(16, min(4096, 24_000_000 // max(N, 1)))
 
-    xs_out = np.empty((L, sign_k + 1, 2, F + 1), dtype=np.float32)
+    chunks = []  # device-resident; no per-batch D2H round trips
     for start in range(0, L, batch_size):
         lb = links[start : start + batch_size]
         bsz = len(lb)
@@ -165,7 +165,8 @@ def precompute_sop(
             sign_k=sign_k,
             num_nodes=N,
         )
-        xs_out[start : start + bsz] = np.asarray(xs)[:bsz]
+        chunks.append(xs[:bsz])
+    xs_out = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
 
     row_mask = np.ones((L, 2), dtype=bool)
     return OperatorDataset(

@@ -1,0 +1,184 @@
+"""Pallas fused PoS-operator kernel: densify Â_sub in VMEM → MXU power chain.
+
+The PoS hot loop computes, per extracted subgraph, the selected rows of
+``Â_sub^k [1|X_sub]`` for k = 1..K (reference tuned_SIGN.py:137-189). The
+XLA formulation propagates the selector with an HBM gather over the padded
+neighbor table every power — gather-latency bound. This kernel exploits the
+fact that a *padded subgraph fits in VMEM*: one grid step per subgraph
+densifies the local adjacency into a [S, S] VMEM scratch, sym-normalizes it
+in place, runs the whole power chain as [S, S] @ [S, F] MXU matmuls, and
+reads out the R selected rows per power. HBM traffic: one pass over the
+neighbor table + X per subgraph; everything else stays on-chip.
+
+Mosaic shape notes (learned the hard way):
+- lane-dim (last-dim) slices must be 128-aligned, so the neighbor table is
+  fed TRANSPOSED [D, S]: the slot loop walks the sublane dim in chunks of 8
+  (`pl.ds(c*8, 8)` is provably 8-aligned) with static sub-extractions.
+- the one-hot expansion is a broadcast compare: hit[j, s] = (iota_j ==
+  nbr_t[d, s]) — sublane iota vs lane-major neighbor row, no transposes.
+- densification accumulates THROUGH the scratch ref per chunk; an SSA
+  accumulator chain keeps every [S, S] intermediate alive and blows the
+  scoped-VMEM budget.
+- both D^-1/2 factors are row/col sums of the densified (symmetric) matrix,
+  read off along sublanes and lanes respectively — no vector transpose.
+
+Selected-row indices arrive via scalar prefetch so the kernel is shape-
+generic over R = 2 + max_ccn.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_D_CHUNK = 8  # sublane tile: neighbor slots folded per fori step
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _kernel(sel_ref, row_ids_ref, nbr_t_ref, w_t_ref, x_ref, out_ref,
+            A, Y, Y2, *, sign_k, R):
+    i = pl.program_id(0)
+    S = A.shape[0]
+    D = nbr_t_ref.shape[1]  # padded to a multiple of _D_CHUNK
+
+    # row_ids[j] = the id by which neighbor entries refer to row j: the
+    # local-slot iota for pre-localized tables, or the GLOBAL node id of
+    # slot j — which lets the kernel densify straight from the global
+    # neighbor table, skipping the host-side global->local remap gather.
+    row_ids = row_ids_ref[0]  # [S, 1] int32
+
+    A[:] = jnp.zeros((S, S), jnp.float32)
+
+    def densify_chunk(c, _):
+        off = pl.multiple_of(c * _D_CHUNK, _D_CHUNK)
+        nb8 = nbr_t_ref[0, pl.ds(off, _D_CHUNK), :]  # [8, S]
+        w8 = w_t_ref[0, pl.ds(off, _D_CHUNK), :]
+        delta = jnp.zeros((S, S), jnp.float32)
+        for k in range(_D_CHUNK):
+            # A[j, s] += w[d, s] where nbr[d, s] == row_ids[j] (A symmetric).
+            delta = delta + jnp.where(
+                row_ids == nb8[k : k + 1, :], w8[k : k + 1, :], 0.0
+            )
+        A[:] = A[:] + delta
+        return 0
+
+    jax.lax.fori_loop(0, D // _D_CHUNK, densify_chunk, 0)
+
+    # Sym-normalization: the densified matrix is symmetric, so both degree
+    # vectors are sums of A itself (sublane-major and lane-major views).
+    deg_sub = jnp.sum(A[:], axis=1, keepdims=True)  # [S, 1]
+    deg_lane = jnp.sum(A[:], axis=0, keepdims=True)  # [1, S]
+    dinv_sub = jnp.where(
+        deg_sub > 0, jax.lax.rsqrt(jnp.maximum(deg_sub, 1e-30)), 0.0
+    )
+    dinv_lane = jnp.where(
+        deg_lane > 0, jax.lax.rsqrt(jnp.maximum(deg_lane, 1e-30)), 0.0
+    )
+    A[:] = A[:] * dinv_sub * dinv_lane
+
+    Y[:] = x_ref[0]
+    for k in range(sign_k + 1):
+        if k > 0:
+            # HIGHEST = 6-pass bf16 (f32-accurate) on the MXU; the matmuls
+            # are a small fraction of kernel time (densify dominates).
+            Y2[:] = jnp.dot(
+                A[:], Y[:],
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            Y[:] = Y2[:]
+        for r in range(R):
+            row = sel_ref[i * R + r]
+            out_ref[0, k, r, :] = Y[pl.ds(row, 1), :][0]
+
+
+@functools.partial(jax.jit, static_argnames=("sign_k", "interpret"))
+def pos_power_rows(
+    sel_idx: jax.Array,  # [B, R] int32 selected local rows
+    nbr_local: jax.Array,  # [B, S, D] int32 (local slots OR global ids)
+    nbr_w: jax.Array,  # [B, S, D] float32 (0 on padding; link removed)
+    subg_x: jax.Array,  # [B, S, F] float32 (zeroed on padded nodes)
+    *,
+    sign_k: int,
+    row_ids: Optional[jax.Array] = None,  # [B, S] id of each row; iota if None
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """[B, K+1, R, F]: op 0 = subg_x rows, op k = (Â_sub^k subg_x) rows.
+
+    With ``row_ids`` given, ``nbr_local`` may hold *global* neighbor ids and
+    ``row_ids[b, j]`` the global id of slot j — the kernel resolves the
+    membership while densifying (no host-side global->local remap).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B, S, D = nbr_local.shape
+    F = subg_x.shape[2]
+    R = sel_idx.shape[1]
+    f_pad = _round_up(F, 128)
+    if f_pad != F:
+        subg_x = jnp.pad(subg_x, ((0, 0), (0, 0), (0, f_pad - F)))
+    d_pad = _round_up(D, _D_CHUNK)
+    if d_pad != D:
+        # Padded slots point at node 0 with weight 0 -> no contribution.
+        nbr_local = jnp.pad(nbr_local, ((0, 0), (0, 0), (0, d_pad - D)))
+        nbr_w = jnp.pad(nbr_w, ((0, 0), (0, 0), (0, d_pad - D)))
+        D = d_pad
+    nbr_t = jnp.swapaxes(nbr_local, 1, 2)  # [B, D, S]
+    w_t = jnp.swapaxes(nbr_w, 1, 2)
+    if row_ids is None:
+        row_ids = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (B, S))
+    row_ids_col = row_ids.astype(jnp.int32)[:, :, None]  # [B, S, 1]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # flattened sel_idx
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, S, 1), lambda i, sel: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, S), lambda i, sel: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D, S), lambda i, sel: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S, f_pad), lambda i, sel: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, sign_k + 1, R, f_pad), lambda i, sel: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((S, S), jnp.float32),
+            pltpu.VMEM((S, f_pad), jnp.float32),
+            pltpu.VMEM((S, f_pad), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_kernel, sign_k=sign_k, R=R),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, sign_k + 1, R, f_pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * (sign_k * S * S * f_pad + D * S * S),
+            bytes_accessed=B * (2 * S * D + S * f_pad) * 4,
+            transcendentals=0,
+        ),
+        interpret=bool(interpret),
+    )(sel_idx.reshape(-1), row_ids_col, nbr_t, w_t, subg_x)
+    return out[..., :F]
+
+
+def vmem_ok(S: int, D: int, F: int, budget_bytes: int = 12 * 1024 * 1024) -> bool:
+    """Does one subgraph's working set fit VMEM? (A + 2Y + nbr blocks)."""
+    f_pad = _round_up(F, 128)
+    d_pad = _round_up(D, _D_CHUNK)
+    need = (S * S + 2 * S * f_pad + 2 * S * d_pad + S * f_pad) * 4
+    return need <= budget_bytes

@@ -26,7 +26,11 @@ from s3grl_tpu.operators.sop import precompute_sop
 from s3grl_tpu.sampling.extraction import DeviceGraph
 from s3grl_tpu.train.logger import Logger
 from s3grl_tpu.train.loop import fit_signnet
-from s3grl_tpu.train.metrics import evaluate_auc
+from s3grl_tpu.train.metrics import (
+    eval_metric_for_dataset,
+    evaluate_auc,
+    make_eval_fn,
+)
 from s3grl_tpu.utils.seeding import seed_everything
 
 
@@ -182,7 +186,14 @@ def run_sgrl_learning(
     if cfg.sign_type == "hybrid":
         num_layers = cfg.sign_k * 2 - 1
 
-    logger = {"AUC": Logger(cfg.runs), "AP": Logger(cfg.runs)}
+    # Reference chooses the metric purely by dataset family
+    # (sgrl_link_pred.py:1005-1016); an explicit non-default flag wins.
+    eval_metric = (
+        cfg.eval_metric
+        if cfg.eval_metric not in ("auc", "")
+        else eval_metric_for_dataset(cfg.dataset)
+    )
+    eval_fn = make_eval_fn(eval_metric)
 
     seed_everything(cfg.seed)  # reset rng for model weights (reference :1280)
     fit = fit_signnet(
@@ -202,7 +213,7 @@ def run_sgrl_learning(
         last_only=cfg.sign_k == -1,
         seed=cfg.seed,
         eval_steps=cfg.eval_steps,
-        eval_fn=evaluate_auc,
+        eval_fn=eval_fn,
         loss_fn=cfg.loss_fn,
         neg_ratio=cfg.neg_ratio,
         pairwise=cfg.pairwise,
@@ -212,9 +223,10 @@ def run_sgrl_learning(
         log_steps=cfg.log_steps,
     )
 
+    logger = {}
     for results, _tinf in fit.results_per_epoch:
         for key, result in results.items():
-            logger[key].add_result(0, result)
+            logger.setdefault(key, Logger(cfg.runs)).add_result(0, result)
 
     best_scores = []
     for key in logger:

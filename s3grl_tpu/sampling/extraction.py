@@ -202,11 +202,9 @@ def _bfs_distances(
         "max_nodes",
         "ratio_per_hop",
         "max_nodes_per_hop",
-        "remove_target_link",
-        "binary_adj",
     ),
 )
-def extract_subgraphs(
+def extract_node_sets(
     dg: DeviceGraph,
     links: jax.Array,  # [B, 2] int32
     *,
@@ -214,11 +212,13 @@ def extract_subgraphs(
     max_nodes: int,
     ratio_per_hop: float = 1.0,
     max_nodes_per_hop: Optional[int] = None,
-    remove_target_link: bool = True,
-    binary_adj: bool = True,
     link_seeds: Optional[jax.Array] = None,
-) -> SubgraphBatch:
-    """Extract padded enclosing subgraphs for a batch of links (jitted)."""
+):
+    """BFS + top-k selection only: (nodes, node_mask, sel_dist, sub_size).
+
+    The cheap front half of extraction (no local-structure assembly) — the
+    fused Pallas PoS path consumes node sets directly with global ids.
+    """
     B = links.shape[0]
     N = dg.num_nodes
     S = max_nodes
@@ -238,6 +238,42 @@ def extract_subgraphs(
     valid_below = (num_hops + 1) * N
     nodes, node_mask = select_padded_nodes(sel_key, links, S, valid_below)
     sel_dist = jnp.where(node_mask, dist[b_idx[:, None], nodes], 0)
+    return nodes, node_mask, sel_dist.astype(jnp.int32), sub_size
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_hops",
+        "max_nodes",
+        "ratio_per_hop",
+        "max_nodes_per_hop",
+        "remove_target_link",
+        "binary_adj",
+    ),
+)
+def extract_subgraphs(
+    dg: DeviceGraph,
+    links: jax.Array,  # [B, 2] int32
+    *,
+    num_hops: int,
+    max_nodes: int,
+    ratio_per_hop: float = 1.0,
+    max_nodes_per_hop: Optional[int] = None,
+    remove_target_link: bool = True,
+    binary_adj: bool = True,
+    link_seeds: Optional[jax.Array] = None,
+) -> SubgraphBatch:
+    """Extract padded enclosing subgraphs for a batch of links (jitted)."""
+    nodes, node_mask, sel_dist, sub_size = extract_node_sets(
+        dg,
+        links,
+        num_hops=num_hops,
+        max_nodes=max_nodes,
+        ratio_per_hop=ratio_per_hop,
+        max_nodes_per_hop=max_nodes_per_hop,
+        link_seeds=link_seeds,
+    )
 
     return assemble_local_structure(
         dg,

@@ -133,3 +133,36 @@ def evaluate_ogb_rocauc(
             _auc(pos_test_pred, neg_test_pred),
         )
     }
+
+
+def make_eval_fn(eval_metric: str):
+    """Metric dispatch by name (reference: sgrl_link_pred.py:1005-1047).
+
+    Adapts the pos/neg-split OGB evaluators to the train loop's
+    (val_pred, val_true, test_pred, test_true) calling convention.
+    """
+    if eval_metric in ("auc", "", None):
+        return evaluate_auc
+    base = {
+        "hits": evaluate_hits,
+        "mrr": evaluate_mrr,
+        "rocauc": evaluate_ogb_rocauc,
+    }[eval_metric]
+
+    def fn(val_pred, val_true, test_pred, test_true):
+        pv, nv = val_pred[val_true > 0.5], val_pred[val_true <= 0.5]
+        pt, nt = test_pred[test_true > 0.5], test_pred[test_true <= 0.5]
+        return base(pv, nv, pt, nt)
+
+    return fn
+
+
+def eval_metric_for_dataset(dataset: str) -> str:
+    """Per-dataset eval metric (reference: sgrl_link_pred.py:1005-1016)."""
+    if dataset.startswith("ogbl-citation"):
+        return "mrr"
+    if dataset == "ogbl-vessel":
+        return "rocauc"
+    if dataset.startswith("ogbl"):
+        return "hits"
+    return "auc"

@@ -187,3 +187,22 @@ def test_normalize_features_matches_pyg_semantics():
     assert np.allclose(out[0], [0.25, 0.75])
     assert np.allclose(out[1], [0.2, 0.2])
     assert np.allclose(out[2], [0.0, 0.0])
+
+
+def test_geom_gcn_loader_webkb():
+    """WebKB raw loader: dims must match PyG's WebKB (Texas: 183 x 1703)."""
+    from s3grl_tpu.data.io import load_dataset
+
+    for name, n, f in (("Texas", 183, 1703), ("Cornell", 183, 1703),
+                       ("Wisconsin", 251, 1703)):
+        g = load_dataset(name)
+        assert g.num_nodes == n and g.num_features == f
+        # symmetrized: every (u, v) has its reverse (self-loops count once)
+        pairs = {(int(a), int(b)) for a, b in g.edge_index.T}
+        assert pairs and all((b, a) in pairs for a, b in pairs)
+        # NormalizeFeatures parity: non-zero rows sum to 1
+        import numpy as np
+
+        s = g.x.sum(axis=1)
+        nz = s > 0
+        np.testing.assert_allclose(s[nz], 1.0, rtol=1e-5)

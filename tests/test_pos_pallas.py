@@ -1,0 +1,56 @@
+"""Fused Pallas PoS-operator kernel vs the XLA gather path (interpret mode)."""
+import numpy as np
+import pytest
+
+from s3grl_tpu.data.graph import Graph, to_undirected
+from s3grl_tpu.operators.pos import pos_operators, precompute_pos
+from s3grl_tpu.sampling.extraction import DeviceGraph, extract_subgraphs
+
+
+def _graph(rng, n=150, e=500, f=7):
+    src = rng.integers(0, n, e).astype(np.int32)
+    dst = rng.integers(0, n, e).astype(np.int32)
+    keep = src != dst
+    ei = to_undirected(np.stack([src[keep], dst[keep]]))
+    return Graph(edge_index=ei, num_nodes=n,
+                 x=rng.normal(size=(n, f)).astype(np.float32))
+
+
+@pytest.mark.parametrize("max_ccn,strategy", [(0, ""), (8, "union"),
+                                              (8, "intersection")])
+def test_pos_operators_pallas_matches_xla(max_ccn, strategy):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    g = _graph(rng)
+    dg = DeviceGraph.from_graph(g)
+    links = jnp.asarray(rng.integers(0, g.num_nodes, (16, 2)).astype(np.int32))
+    seeds = jnp.asarray(np.arange(16, dtype=np.int32))
+    sub = extract_subgraphs(dg, links, num_hops=2, max_nodes=128,
+                            ratio_per_hop=1.0, max_nodes_per_hop=None,
+                            link_seeds=seeds)
+    kw = dict(sign_k=3, max_ccn=max_ccn, strategy=strategy)
+    xs_a, rm_a = pos_operators(sub, dg.x, use_pallas=False, **kw)
+    xs_b, rm_b = pos_operators(sub, dg.x, use_pallas=True, **kw)
+    np.testing.assert_array_equal(np.asarray(rm_a), np.asarray(rm_b))
+    # XLA path leaves x0 of masked rows zeroed too -> compare masked values.
+    np.testing.assert_allclose(
+        np.asarray(xs_a), np.asarray(xs_b), rtol=2e-3, atol=2e-4
+    )
+
+
+@pytest.mark.parametrize("ccn", [{}, dict(k_heuristic=1, max_ccn=8,
+                                          k_node_set_strategy="intersection")])
+def test_precompute_pos_pallas_end_to_end(ccn):
+    """use_pallas=True routes through the global-id node-set path."""
+    rng = np.random.default_rng(1)
+    g = _graph(rng)
+    dg = DeviceGraph.from_graph(g)
+    links = rng.integers(0, g.num_nodes, (24, 2)).astype(np.int32)
+    y = rng.integers(0, 2, 24).astype(np.float32)
+    kw = dict(num_hops=2, sign_k=2, buckets=(32, 64, 128), batch_size=8,
+              max_subgraph_nodes=128, seed=3, **ccn)
+    a = precompute_pos(dg, links, y, use_pallas=False, **kw)
+    b = precompute_pos(dg, links, y, use_pallas=True, **kw)
+    np.testing.assert_allclose(a.xs, b.xs, rtol=2e-3, atol=2e-4)
+    np.testing.assert_array_equal(a.row_mask, b.row_mask)
