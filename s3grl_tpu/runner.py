@@ -219,9 +219,29 @@ def run_sgrl_learning(
         pairwise=cfg.pairwise,
         checkpoint_training=cfg.checkpoint_training,
         continue_from=cfg.continue_from,
+        only_test=cfg.only_test,
+        test_multiple_models=cfg.test_multiple_models,
         res_dir=cfg.res_dir or f"{cfg.results_dir}/{cfg.dataset}_seed{cfg.seed}",
         log_steps=cfg.log_steps,
     )
+
+    if cfg.profile:
+        # Per-run stats JSON (reference: profile_helper, profiler_utils.py:
+        # 10-66; written at sgrl_link_pred.py:1430-1435).
+        from s3grl_tpu.profiling import profile_helper
+
+        profile_helper(
+            fit.train_times,
+            fit.inference_times,
+            total_prep_time,
+            (fit.final_variables or {}).get("params", {}),
+            dataset_num_links=datasets["train"].num_links,
+            stats_suffix=(
+                f"{cfg.model}_{cfg.dataset}_{cfg.save_appendix}"
+                f"_seed_{cfg.seed}"
+            ),
+            out_dir=os.path.join(cfg.results_dir, "stats"),
+        )
 
     logger = {}
     for results, _tinf in fit.results_per_epoch:

@@ -10,6 +10,7 @@ grad + wd * p before the moment updates — sgrl_link_pred.py:1317).
 from __future__ import annotations
 
 import functools
+import os
 import time
 from dataclasses import dataclass, field
 from typing import Callable, Dict, Optional, Tuple
@@ -79,6 +80,8 @@ def fit_signnet(
     pairwise: bool = False,
     checkpoint_training: bool = False,
     continue_from: Optional[int] = None,
+    only_test: bool = False,
+    test_multiple_models: bool = False,
     res_dir: str = "",
     run: int = 1,
     log_steps: int = 1,
@@ -249,6 +252,59 @@ def fit_signnet(
         )
         start_epoch = continue_from + 1
         epochs = epochs - continue_from  # reference: sgrl_link_pred.py:1338
+
+    if only_test:
+        # Evaluate the restored checkpoint, no training
+        # (reference: sgrl_link_pred.py:1340-1352).
+        val_pred = predict_all(x_va, m_va)
+        t1 = time.perf_counter()
+        test_pred = predict_all(x_te, m_te)
+        t_inf = time.perf_counter() - t1
+        results = eval_fn(val_pred, np.asarray(y_va), test_pred, np.asarray(y_te))
+        return FitResult(
+            results_per_epoch=[(results, t_inf)],
+            train_times=[],
+            inference_times=[t_inf],
+            num_params=n_params,
+            final_variables={"params": params, "batch_stats": batch_stats},
+        )
+
+    if test_multiple_models:
+        # Evaluate every saved checkpoint in res_dir
+        # (reference: sgrl_link_pred.py:1354-1380).
+        import glob
+        import re
+
+        from s3grl_tpu.train.checkpoint import load_checkpoint
+
+        results_per_epoch = []
+        inference_times = []
+        pattern = os.path.join(res_dir, f"run{run}_model_checkpoint*.msgpack")
+        epochs_found = sorted(
+            int(m.group(1))
+            for p in glob.glob(pattern)
+            if (m := re.search(r"checkpoint(\d+)", p))
+        )
+        for ckpt_epoch in epochs_found:
+            params, batch_stats, opt_state = load_checkpoint(
+                res_dir, run, ckpt_epoch, params, batch_stats, opt_state
+            )
+            val_pred = predict_all(x_va, m_va)
+            t1 = time.perf_counter()
+            test_pred = predict_all(x_te, m_te)
+            t_inf = time.perf_counter() - t1
+            inference_times.append(t_inf)
+            results_per_epoch.append(
+                (eval_fn(val_pred, np.asarray(y_va), test_pred,
+                         np.asarray(y_te)), t_inf)
+            )
+        return FitResult(
+            results_per_epoch=results_per_epoch,
+            train_times=[],
+            inference_times=inference_times,
+            num_params=n_params,
+            final_variables={"params": params, "batch_stats": batch_stats},
+        )
 
     # ---- epochs ----
     results_per_epoch = []
