@@ -102,9 +102,12 @@ class RunConfig:
 
     # ---- TPU-native knobs (no reference analog) ----
     # Subgraph node-count pad. Per-link subgraphs are padded to the smallest
-    # bucket >= their size so XLA compiles one kernel per bucket, not per shape.
-    max_subgraph_nodes: int = 512
-    subgraph_buckets: Sequence[int] = (32, 64, 128, 256, 512, 1024)
+    # bucket >= their size so XLA compiles one kernel per bucket, not per
+    # shape. The cap must cover the k-hop neighborhoods of the target
+    # datasets (the reference never truncates); 4096 covers every paper
+    # dataset at hops<=3 except the largest Pubmed tails.
+    max_subgraph_nodes: int = 4096
+    subgraph_buckets: Sequence[int] = (32, 64, 128, 256, 512, 1024, 2048, 4096)
     # Max CCN (common/combined neighbor) rows kept for PoS+ pooling.
     max_ccn_nodes: int = 32
     # Labeling BFS iteration cap (distances beyond are treated unreachable).

@@ -434,21 +434,25 @@ def precompute_pos(
             )
             pending.append((idx, bsz, xs, row_mask))
 
-    # Assemble ON DEVICE (one concat + one inverse-permutation gather):
-    # results never round-trip the host — D2H on a tunneled TPU runs at
-    # ~20 MB/s with a ~250 ms latency floor, and training consumes device
-    # arrays directly.
-    idx_cat = np.concatenate([idx for idx, _, _, _ in pending])
-    inv = np.empty(L, dtype=np.int32)
-    inv[idx_cat] = np.arange(L, dtype=np.int32)
-    inv_dev = jnp.asarray(inv)
+    # Assemble ON DEVICE (one concat + one position-map gather): results
+    # never round-trip the host — D2H on a tunneled TPU runs at ~20 MB/s
+    # with a ~250 ms latency floor. Batches are concatenated at their FULL
+    # padded size (no per-batch [:bsz] slicing): remainder sizes vary with
+    # the seed and every distinct slice shape is a fresh ~1 s remote XLA
+    # compile; full-batch shapes repeat across seeds and hit the jit cache.
+    pos = np.empty(L, dtype=np.int32)
+    offset = 0
+    for idx, bsz, xs, _ in pending:
+        pos[idx] = offset + np.arange(bsz, dtype=np.int32)
+        offset += xs.shape[0]
+    pos_dev = jnp.asarray(pos)
     xs_out = jnp.take(
-        jnp.concatenate([xs[:bsz] for _, bsz, xs, _ in pending], axis=0),
-        inv_dev, axis=0,
+        jnp.concatenate([xs for _, _, xs, _ in pending], axis=0),
+        pos_dev, axis=0,
     )
     mask_out = jnp.take(
-        jnp.concatenate([m[:bsz] for _, bsz, _, m in pending], axis=0),
-        inv_dev, axis=0,
+        jnp.concatenate([m for _, _, _, m in pending], axis=0),
+        pos_dev, axis=0,
     )
     return OperatorDataset(
         xs=xs_out, row_mask=mask_out, y=np.asarray(y, dtype=np.float32)

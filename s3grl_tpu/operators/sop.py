@@ -149,7 +149,10 @@ def precompute_sop(
         # [2B, N] propagation state is the memory driver; budget ~192 MB.
         batch_size = max(16, min(4096, 24_000_000 // max(N, 1)))
 
-    chunks = []  # device-resident; no per-batch D2H round trips
+    # Device-resident assembly; batches kept at FULL padded size (distinct
+    # remainder-slice shapes would each trigger a fresh remote XLA compile),
+    # pads dropped by one gather.
+    chunks = []
     for start in range(0, L, batch_size):
         lb = links[start : start + batch_size]
         bsz = len(lb)
@@ -165,8 +168,20 @@ def precompute_sop(
             sign_k=sign_k,
             num_nodes=N,
         )
-        chunks.append(xs[:bsz])
-    xs_out = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
+        chunks.append(xs)
+    xs_cat = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks, axis=0)
+    xs_out = xs_cat[:L] if len(chunks) == 1 else jnp.take(
+        xs_cat,
+        jnp.asarray(
+            np.concatenate([
+                i * batch_size + np.arange(
+                    min(batch_size, L - i * batch_size), dtype=np.int32
+                )
+                for i in range(len(chunks))
+            ])
+        ),
+        axis=0,
+    )
 
     row_mask = np.ones((L, 2), dtype=bool)
     return OperatorDataset(

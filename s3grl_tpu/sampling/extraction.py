@@ -54,6 +54,13 @@ class DeviceGraph:
 
     @classmethod
     def from_graph(cls, g: Graph, max_degree: Optional[int] = None) -> "DeviceGraph":
+        if max_degree is None:
+            # Round the table width up: the observed graph's max degree
+            # wobbles with the seed's train/val/test split, and a changed D
+            # changes EVERY downstream [B, S, D] shape — one fresh ~1 s
+            # remote XLA compile per program per seed. Rounding to 32 makes
+            # shapes seed-stable (±32-degree wobble absorbed).
+            max_degree = ((g.max_degree + 31) // 32) * 32
         nbr, nbr_w, deg = g.padded_adjacency(max_degree)
         D = nbr.shape[1]
         mask = np.arange(D)[None, :] < deg[:, None]
