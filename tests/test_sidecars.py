@@ -1,0 +1,115 @@
+"""Sidecar subsystems: manager, tuning harness, calc_ratio, profiler."""
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tiny_suite(tmp_path_factory):
+    d = tmp_path_factory.mktemp("suite")
+    suite = {
+        "datasets": {
+            "USAir_PoS": {
+                "ds_params": {"runs": 1, "seeds": [1], "dataset": "USAir"},
+                "hyperparams_per_run": {
+                    "model": "SIGN", "sign_type": "PoS", "optimize_sign": True,
+                    "pool_operatorwise": True, "init_features": "degree",
+                    "use_feature": True, "sign_k": 2, "num_hops": 1,
+                    "epochs": 2, "train_percent": 20, "val_percent": 50,
+                    "test_percent": 50, "delete_dataset": True,
+                    "max_subgraph_nodes": 256, "hidden_channels": 32,
+                },
+            },
+            "USAir_AA": {
+                "ds_params": {"runs": 1, "seeds": [1], "dataset": "USAir"},
+                "hyperparams_per_run": {
+                    "model": "SIGN", "use_heuristic": "AA", "epochs": 1,
+                },
+            },
+        }
+    }
+    path = str(d / "suite.json")
+    with open(path, "w") as f:
+        json.dump(suite, f)
+    return path, str(d / "out.json")
+
+
+def test_master_controller_results_schema(tiny_suite):
+    """Suite runner aggregates mean±std per experiment
+    (reference: sgrl_master_controller, sgrl_run_manager.py:105-181)."""
+    from s3grl_tpu.manager import sgrl_master_controller
+
+    config_path, results_path = tiny_suite
+    out = sgrl_master_controller(config_path, results_path)
+    assert set(out) == {"USAir_PoS", "USAir_AA"}
+    res = out["USAir_PoS"]["results"]
+    for key in ("Average Runtime", "Average Test AUC",
+                "Average Dataset Prep Time", "Total Model Parameters"):
+        assert key in res and "±" in res[key] or "±" in res[key]
+    assert os.path.exists(results_path)
+    # heuristic row reports AUC too
+    assert "Average Test AUC" in out["USAir_AA"]["results"]
+
+
+def test_tuning_harness_reports_best_trial(tmp_path):
+    from s3grl_tpu.config import RunConfig
+    from s3grl_tpu.tuning import ray_tune_helper
+
+    cfg = RunConfig(
+        dataset="USAir", model="SIGN", sign_type="PoS", optimize_sign=True,
+        pool_operatorwise=True, init_features="degree", use_feature=True,
+        sign_k=2, num_hops=1, epochs=2, seed=1, train_percent=20,
+        val_percent=50, test_percent=50, max_subgraph_nodes=256,
+        results_dir=str(tmp_path),
+    )
+    results_json = os.path.join(str(tmp_path), "tuning_result.json")
+    best = ray_tune_helper(
+        cfg, num_samples=2, max_epochs=2, grace_period=1,
+        results_json=results_json,
+    )
+    assert "best_config" in best and best["best_score"] is not None
+    assert os.path.exists(results_json), \
+        "best-trial JSON must be dumped (ray_tuning.py:145-152)"
+
+
+def test_calc_ratio_emits_stats(tmp_path):
+    from s3grl_tpu.analysis import calc_ratio_helper
+    from s3grl_tpu.data.io import load_dataset
+    from s3grl_tpu.data.split import do_edge_split, get_pos_neg_edges
+    from s3grl_tpu.sampling.extraction import DeviceGraph
+    from s3grl_tpu.utils.seeding import seed_everything
+
+    rng, _ = seed_everything(1)
+    g, split = do_edge_split(load_dataset("USAir"), rng=rng)
+    pos, neg = get_pos_neg_edges("train", split, percent=10, rng=rng)
+    dg = DeviceGraph.from_graph(g)
+    out = None
+    for seed in (1, 2):
+        out = calc_ratio_helper(
+            pos, neg, dg, num_hops=1, max_nodes=256, rw_m=2, rw_M=5,
+            dataset_name="USAir", seed=seed, final_seed=2,
+            out_dir=str(tmp_path), scratch_dir=str(tmp_path),
+        )
+    assert out and "train" in out
+    files = [f for f in os.listdir(tmp_path) if "preprocessing_stats" in f]
+    assert files
+
+
+def test_profile_helper_schema(tmp_path):
+    from s3grl_tpu.profiling import parse_profiling_data, profile_helper
+
+    params = {"w": np.zeros((4, 4), np.float32)}
+    stats = profile_helper(
+        [0.1, 0.2], [0.05], 1.5, params, dataset_num_links=10,
+        stats_suffix="SIGN_USAir_x_seed_1", out_dir=str(tmp_path),
+    )
+    assert stats["num_parameters"] == 16
+    assert "train_time_per_epoch_s" in stats
+    stats2 = profile_helper(
+        [0.3], [0.07], 1.0, params, dataset_num_links=10,
+        stats_suffix="SIGN_USAir_x_seed_2", out_dir=str(tmp_path),
+    )
+    combined = parse_profiling_data(str(tmp_path))
+    assert combined
