@@ -106,9 +106,12 @@ def node2vec_pretrain(
             pos_out = skipgram(pw)
             neg_out = skipgram(nw)
             pos_loss = -jax.nn.log_sigmoid(pos_out).mean()
-            neg_loss = -jnp.log(
-                1.0 - jax.nn.sigmoid(neg_out) + 1e-15
-            ).mean()
+            # log(1 - sigmoid(x)) == log_sigmoid(-x). The reference's
+            # log(1 - sigmoid + eps) form (PyG Node2Vec.loss) is unstable
+            # under XLA fusion: (1.0 - sigmoid) + eps can reassociate to
+            # (1.0 + eps) - sigmoid == 1.0 - sigmoid -> log(0) = -inf once
+            # sigmoid saturates, and NaN gradients poison the embeddings.
+            neg_loss = -jax.nn.log_sigmoid(-neg_out).mean()
             return pos_loss + neg_loss
 
         loss, grads = jax.value_and_grad(loss_fn)(emb)

@@ -204,3 +204,18 @@ def test_tuning_harness():
         c.hidden_channels for c in calls
     )
     assert len(calls) >= 4
+
+
+def test_n2v_pretrain_finite_when_saturated():
+    """Regression: the skip-gram negative loss must stay finite even when
+    sigmoid saturates. The reference's log(1 - sigmoid + eps) form
+    (PyG Node2Vec.loss) fuses to log(0) = -inf under XLA and NaN-poisons
+    the embeddings within one epoch on USAir (n2v_prep.py:10-48 semantics)."""
+    from s3grl_tpu.models.n2v import node2vec_pretrain
+
+    tg, _, _ = small_setup()
+    emb = node2vec_pretrain(tg, 16, epochs=2, seed=1)
+    assert np.isfinite(emb).all(), "n2v embeddings contain NaN/inf"
+    # embeddings must carry signal, not stay at init: columns uncorrelated
+    # with N(0,1) init would keep ~unit std; training shifts the scale.
+    assert emb.std() > 0
