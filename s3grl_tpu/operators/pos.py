@@ -320,6 +320,39 @@ def pos_operators_global(
     return xs * row_mask[:, None, :, None], row_mask
 
 
+def measure_ccn_width(
+    dg: DeviceGraph, links: np.ndarray, strategy: str, cap: int
+) -> int:
+    """Tight upper bound on CCN row count over ``links`` from the GLOBAL
+    graph (a subgraph CCN set is a subset of the global 1-hop sets).
+
+    The reference pads nothing — it keeps exactly |CCN| rows per link
+    (tuned_SIGN.py:238); the static-shape analog is to size R to the
+    measured max instead of a blanket ``max_ccn``. On sparse graphs the
+    intersection is tiny (0-2), so this shrinks the dataset ~10x vs the
+    default 32-slot pad.
+    """
+    import scipy.sparse as ssp
+
+    src_e = np.asarray(dg.edge_src)
+    dst_e = np.asarray(dg.edge_dst)
+    N = dg.num_nodes
+    A = ssp.csr_matrix(
+        (np.ones(len(src_e), dtype=np.float32), (src_e, dst_e)), shape=(N, N)
+    )
+    A.data[:] = 1.0
+    s, d = links[:, 0], links[:, 1]
+    cn = np.asarray(A[s].multiply(A[d]).sum(axis=1)).ravel()
+    if strategy == "intersection":
+        counts = cn
+    else:  # union: |N(s)| + |N(d)| - CN, minus the (removed) target edge
+        deg = np.asarray(A.sum(axis=1)).ravel()
+        has_edge = np.asarray(A[s, d]).ravel()
+        counts = deg[s] + deg[d] - cn - 2 * has_edge
+    measured = int(counts.max()) if len(counts) else 0
+    return max(1, min(cap, measured))
+
+
 def precompute_pos(
     dg: DeviceGraph,
     links: np.ndarray,  # [L, 2]
@@ -340,6 +373,7 @@ def precompute_pos(
     rw_m: int = 0,
     rw_M: int = 0,
     use_pallas: Optional[bool] = None,
+    extract_fn=None,
 ) -> OperatorDataset:
     """Host driver: bucket links by subgraph size, run the jitted pipeline.
 
@@ -350,14 +384,24 @@ def precompute_pos(
     ``use_pallas=None`` auto-selects the fused VMEM operator kernel per
     bucket on TPU (ops/pos_pallas.py) whenever the padded subgraph working
     set fits VMEM; smaller/CPU cases keep the XLA gather path.
+
+    ``extract_fn`` overrides the fused extraction+operator dispatch (same
+    signature as ``_extract_and_operate``) — used by the mesh-sharded driver
+    (parallel/dist.py) to place link batches sharded, without monkeypatching.
     """
     assert dg.x is not None, "PoS requires node features (reference parity)"
+    if extract_fn is None:
+        extract_fn = _extract_and_operate
     L = links.shape[0]
     links = np.asarray(links, dtype=np.int32)
     use_ccn = k_heuristic > 0
     if use_ccn and max_ccn <= 0:
         max_ccn = 16
-    eff_ccn = max_ccn if use_ccn else 0
+    eff_ccn = (
+        measure_ccn_width(dg, links, k_node_set_strategy, max_ccn)
+        if use_ccn
+        else 0
+    )
 
     buckets = [
         b
@@ -396,12 +440,30 @@ def precompute_pos(
     order = np.argsort(sizes, kind="stable")
     F = int(dg.x.shape[1])
 
+    # --- output placement (ADVICE r1: no unbounded device assembly) ---
+    # Dataset footprint L * (K+1) * R * (F+1). Three tiers:
+    #   f32 on device  -> the fast path (training reads it in place);
+    #   bf16 on device -> 2x headroom, storage-only cast (compute stays f32);
+    #   f32 on host    -> last resort; D2H over the tunnel is ~6 MB/s, so
+    #                     only when the dataset cannot fit HBM at all.
+    import os as _os
+
+    R_rows = 2 + eff_ccn
+    est_bytes = L * (sign_k + 1) * R_rows * (F + 1) * 4
+    budget = float(_os.environ.get("S3GRL_TPU_DEVICE_DS_BYTES", 3.5e9))
+    host_assemble = est_bytes > 2 * budget
+    store_dtype = jnp.float32 if est_bytes <= budget else jnp.bfloat16
+    if host_assemble:
+        xs_all = np.zeros((L, sign_k + 1, R_rows, F + 1), dtype=np.float32)
+        mask_all = np.zeros((L, R_rows), dtype=bool)
+    else:
+        xs_all = jnp.zeros((L, sign_k + 1, R_rows, F + 1), dtype=store_dtype)
+        mask_all = jnp.zeros((L, R_rows), dtype=bool)
+
     # Links grouped by size bucket; per-bucket batch size bounded so the
     # [B, S, F] feature gather and [B, S, S] adjacency stay within budget.
     ELEM_BUDGET = 192_000_000  # f32 elements (~768 MB) per transient tensor
     bucket_of = np.array([pick_bucket(int(s), buckets) for s in sizes[order]])
-    pending = []  # (idx, bsz, xs_dev, mask_dev): host copy deferred so batch
-    # dispatches pipeline on device instead of syncing per batch
     for bucket in np.unique(bucket_of):
         idx_all = order[bucket_of == bucket]
         per_link = max(int(bucket) * (F + 1), int(bucket) * int(bucket))
@@ -417,7 +479,7 @@ def precompute_pos(
             if bsz < bsz_cap:  # pad batch to static size
                 lb = np.concatenate([lb, np.tile(lb[-1:], (bsz_cap - bsz, 1))])
                 ls = np.concatenate([ls, np.tile(ls[-1:], bsz_cap - bsz)])
-            xs, row_mask = _extract_and_operate(
+            xs, row_mask = extract_fn(
                 dg,
                 jnp.asarray(lb),
                 jnp.asarray(ls),
@@ -432,30 +494,31 @@ def precompute_pos(
                 rw_M=rw_M,
                 use_pallas=_pallas_for_bucket(int(bucket)),
             )
-            pending.append((idx, bsz, xs, row_mask))
+            if bsz < xs.shape[0]:
+                xs, row_mask = xs[:bsz], row_mask[:bsz]
+            if host_assemble:
+                xs_all[idx] = np.asarray(xs)
+                mask_all[idx] = np.asarray(row_mask)
+            else:
+                # Donated scatter: the output buffer is updated IN PLACE, so
+                # peak device memory is (dataset + one batch), never 2-3x the
+                # dataset as concat+gather assembly was.
+                xs_all, mask_all = _scatter_assemble(
+                    xs_all, mask_all, jnp.asarray(idx), xs, row_mask
+                )
 
-    # Assemble ON DEVICE (one concat + one position-map gather): results
-    # never round-trip the host — D2H on a tunneled TPU runs at ~20 MB/s
-    # with a ~250 ms latency floor. Batches are concatenated at their FULL
-    # padded size (no per-batch [:bsz] slicing): remainder sizes vary with
-    # the seed and every distinct slice shape is a fresh ~1 s remote XLA
-    # compile; full-batch shapes repeat across seeds and hit the jit cache.
-    pos = np.empty(L, dtype=np.int32)
-    offset = 0
-    for idx, bsz, xs, _ in pending:
-        pos[idx] = offset + np.arange(bsz, dtype=np.int32)
-        offset += xs.shape[0]
-    pos_dev = jnp.asarray(pos)
-    xs_out = jnp.take(
-        jnp.concatenate([xs for _, _, xs, _ in pending], axis=0),
-        pos_dev, axis=0,
-    )
-    mask_out = jnp.take(
-        jnp.concatenate([m for _, _, _, m in pending], axis=0),
-        pos_dev, axis=0,
-    )
     return OperatorDataset(
-        xs=xs_out, row_mask=mask_out, y=np.asarray(y, dtype=np.float32)
+        xs=xs_all, row_mask=mask_all, y=np.asarray(y, dtype=np.float32)
+    )
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _scatter_assemble(xs_buf, mask_buf, idx, xs, mask):
+    """Write one batch's rows into the preallocated output buffers in place
+    (buffers donated — no copy, no peak-doubling)."""
+    return (
+        xs_buf.at[idx].set(xs.astype(xs_buf.dtype)),
+        mask_buf.at[idx].set(mask),
     )
 
 

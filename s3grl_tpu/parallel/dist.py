@@ -178,26 +178,20 @@ def precompute_pos_sharded(
     link_sharding = NamedSharding(mesh, P(axis, None))
     seed_sharding = NamedSharding(mesh, P(axis))
 
-    orig_extract = pos_mod._extract_and_operate
-
     def sharded_extract(dg_arg, lb, ls, **kw):
         b = lb.shape[0]
         if b % n == 0:  # shard when the padded batch divides the mesh
             lb = jax.device_put(lb, link_sharding)
             ls = jax.device_put(ls, seed_sharding)
-        return orig_extract(dg_arg, lb, ls, **kw)
+        return pos_mod._extract_and_operate(dg_arg, lb, ls, **kw)
 
     # Route the driver through the sharded dispatcher (batch sizes in the
     # driver are powers of two >= 8, so they divide any power-of-two mesh).
-    pos_mod._extract_and_operate = sharded_extract
-    try:
-        kwargs = dict(pos_kwargs)
-        kwargs["batch_size"] = max(
-            int(kwargs.get("batch_size", 256)), 8 * n
-        )
-        return pos_mod.precompute_pos(dg_rep, links, y, **kwargs)
-    finally:
-        pos_mod._extract_and_operate = orig_extract
+    kwargs = dict(pos_kwargs)
+    kwargs["batch_size"] = max(int(kwargs.get("batch_size", 256)), 8 * n)
+    return pos_mod.precompute_pos(
+        dg_rep, links, y, extract_fn=sharded_extract, **kwargs
+    )
 
 
 # --------------------------------------------------------------------------

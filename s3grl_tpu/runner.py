@@ -96,6 +96,32 @@ def precompute_split(
         rw_M=cfg.M,
     )
     if sign_type == "PoS":
+        if not cfg.optimize_sign:
+            # Non-optimized flow: whole subgraph kept, node_label live as the
+            # first feature column (utils.py:497-531, 308-312). k_heuristic
+            # pooling then covers ALL non-center rows in the model.
+            if cfg.m or cfg.M:
+                raise NotImplementedError(
+                    "ScaLed rw sampling with optimize_sign=False is not "
+                    "supported; use the optimized flow for ScaLed"
+                )
+            from s3grl_tpu.operators.fullrow import precompute_pos_fullrow
+
+            return precompute_pos_fullrow(
+                dg,
+                links,
+                y,
+                num_hops=cfg.num_hops,
+                sign_k=cfg.sign_k,
+                node_label=cfg.node_label,
+                max_label_dist=cfg.max_label_dist,
+                ratio_per_hop=cfg.ratio_per_hop,
+                max_nodes_per_hop=cfg.max_nodes_per_hop,
+                buckets=tuple(cfg.subgraph_buckets),
+                batch_size=cfg.extract_batch_size,
+                max_subgraph_nodes=cfg.max_subgraph_nodes,
+                seed=cfg.seed,
+            )
         if cfg.k_heuristic:
             return precompute_pos(
                 dg,
@@ -108,6 +134,17 @@ def precompute_split(
             )
         return precompute_pos(dg, links, y, **common_pos)
     if sign_type == "SoP":
+        if not cfg.optimize_sign:
+            from s3grl_tpu.operators.fullrow import precompute_sop_fullrow
+
+            return precompute_sop_fullrow(
+                dg,
+                links,
+                y,
+                sign_k=cfg.sign_k,
+                num_hops=cfg.num_hops,
+                node_label=cfg.node_label,
+            )
         return precompute_sop(dg, links, y, sign_k=cfg.sign_k)
     if sign_type == "hybrid":
         pos_ds = precompute_pos(dg, links, y, **common_pos)

@@ -93,13 +93,32 @@ def fit_signnet(
     key = jax.random.PRNGKey(seed)
 
     # ---- Assemble device-resident arrays ----
+    # Datasets stay in their [L, O, R, F] precompute layout (possibly already
+    # device-resident, possibly bf16): the operator concat the model wants
+    # ([L, R, O*F], OperatorDataset.model_inputs) would be a second full-size
+    # copy of the dataset — for paper-scale attributed datasets that copy is
+    # gigabytes. Instead each BATCH is reshaped inside the jitted step
+    # (a transpose XLA fuses into the gather).
     def to_dev(ds: OperatorDataset):
-        mi = ds.model_inputs(sign_k=sign_k, last_only=last_only)
+        xs = ds.xs
+        n_ops = xs.shape[1]
+        if last_only:
+            if n_ops > 1:
+                xs = xs[:, n_ops - 1 :]
+        elif sign_k + 1 < n_ops:
+            xs = xs[:, : sign_k + 1]
         return (
-            jnp.asarray(mi),
+            jnp.asarray(xs),
             jnp.asarray(ds.row_mask),
             jnp.asarray(ds.y, dtype=jnp.float32),
         )
+
+    def flat(xb):
+        """[B, O, R, F] -> [B, R, O*F] feature-wise operator concat
+        (sgrl_link_pred.py:449-459 xs assembly), in f32."""
+        B_, O_, R_, F_ = xb.shape
+        out = jnp.transpose(xb, (0, 2, 1, 3)).reshape(B_, R_, O_ * F_)
+        return out.astype(jnp.float32)
 
     x_tr, m_tr, y_tr = to_dev(train_ds)
     x_va, m_va, y_va = to_dev(val_ds)
@@ -117,7 +136,7 @@ def fit_signnet(
     key, init_key, drop_key = jax.random.split(key, 3)
     variables = model.init(
         {"params": init_key, "dropout": drop_key},
-        x_tr[:2],
+        flat(x_tr[:2]),
         m_tr[:2],
         train=True,
     )
@@ -146,7 +165,7 @@ def fit_signnet(
             params, batch_stats, opt_state = carry
             idx = jax.lax.dynamic_slice(perm, (s * batch_size,), (batch_size,))
             wb = jax.lax.dynamic_slice(w, (s * batch_size,), (batch_size,))
-            xb, mb, yb = x_tr[idx], m_tr[idx], y_tr[idx]
+            xb, mb, yb = flat(x_tr[idx]), m_tr[idx], y_tr[idx]
             dkey = jax.random.fold_in(key, s)
 
             def loss_fn_(p):
@@ -194,12 +213,12 @@ def fit_signnet(
             def loss_fn_(p):
                 pos_out, mut = model.apply(
                     {"params": p, "batch_stats": batch_stats},
-                    x_tr[pidx], m_tr[pidx], train=True,
+                    flat(x_tr[pidx]), m_tr[pidx], train=True,
                     rngs={"dropout": dkey}, mutable=["batch_stats"],
                 )
                 neg_out, mut2 = model.apply(
                     {"params": p, "batch_stats": mut["batch_stats"]},
-                    x_tr[nidx], m_tr[nidx], train=True,
+                    flat(x_tr[nidx]), m_tr[nidx], train=True,
                     rngs={"dropout": dkey}, mutable=["batch_stats"],
                 )
                 pos_out = pos_out.reshape(-1, 1)
@@ -225,7 +244,8 @@ def fit_signnet(
     @jax.jit
     def predict(params, batch_stats, xb, mb):
         return model.apply(
-            {"params": params, "batch_stats": batch_stats}, xb, mb, train=False
+            {"params": params, "batch_stats": batch_stats},
+            flat(xb), mb, train=False,
         )
 
     def predict_all(x, m, bsz: int = 1024):
@@ -236,7 +256,7 @@ def fit_signnet(
             pad = 0
             if xb.shape[0] < bsz:
                 pad = bsz - xb.shape[0]
-                xb = jnp.pad(xb, ((0, pad), (0, 0), (0, 0)))
+                xb = jnp.pad(xb, ((0, pad), (0, 0), (0, 0), (0, 0)))
                 mb = jnp.pad(mb, ((0, pad), (0, 0)))
             o = predict(params, batch_stats, xb, mb)
             outs.append(np.asarray(o)[: bsz - pad])
