@@ -149,6 +149,12 @@ class RunConfig:
             )
         if self.node_label not in ("drnl", "hop", "zo", "de", "de+", "degree", ""):
             raise ValueError(f"Unknown node_label {self.node_label}")
+        if self.only_test and self.continue_from is None:
+            raise ValueError(
+                "only_test evaluates a restored checkpoint; set continue_from "
+                "to the checkpoint epoch (otherwise a freshly initialized "
+                "model would be scored)"
+            )
 
     @classmethod
     def from_dict(cls, d: dict[str, Any]) -> "RunConfig":

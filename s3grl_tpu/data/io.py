@@ -261,3 +261,29 @@ def load_dataset(
     if os.path.exists(mat_path):
         return load_mat_unsplitted(data_root, name)
     raise NotImplementedError(f"dataset {name} is not yet supported.")
+
+
+def dataset_source_paths(
+    name: str, data_root: str = "/root/reference/data"
+) -> list[str]:
+    """Existing raw files (or directories) backing a dataset, for cache
+    fingerprinting (the precompute-artifact cache must invalidate when the
+    raw data changes or lives under a different root)."""
+    paths: list[str] = []
+    if name in PLANETOID_DATASETS:
+        d = os.path.join(data_root, name.lower(), "raw")
+        if not os.path.isdir(d):
+            d = os.path.join(data_root, name.lower())
+        if os.path.isdir(d):
+            paths = [os.path.join(d, f) for f in sorted(os.listdir(d))]
+    elif name in SEAL_TXT_DATASETS or name.lower() in [
+        d.lower() for d in SEAL_TXT_DATASETS
+    ]:
+        d = os.path.join(data_root, "link_prediction", name.lower())
+        if os.path.isdir(d):
+            paths = [os.path.join(d, f) for f in sorted(os.listdir(d))]
+    else:
+        mat = os.path.join(data_root, f"{name}.mat")
+        if os.path.exists(mat):
+            paths = [mat]
+    return [p for p in paths if os.path.isfile(p)][:8]

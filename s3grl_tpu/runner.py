@@ -53,8 +53,22 @@ def _dataset_cache_path(cfg: RunConfig, split: str) -> str:
         "k_node_set_strategy", "max_ccn_nodes", "m", "M", "dataset_split_num",
         "max_subgraph_nodes", "data_appendix",
     )
-    blob = repr([(k, getattr(cfg, k)) for k in keys]) + repr(
-        tuple(cfg.subgraph_buckets)
+    # data_root + source-file signature: the same dataset name under a
+    # different root (or regenerated raw files) must not reuse a stale cache.
+    src_sig = ""
+    try:
+        from s3grl_tpu.data.io import dataset_source_paths
+
+        for p in dataset_source_paths(cfg.dataset, cfg.data_root):
+            st = os.stat(p)
+            src_sig += f"{p}:{st.st_size}:{int(st.st_mtime)};"
+    except Exception:
+        src_sig = "unknown"
+    blob = (
+        repr([(k, getattr(cfg, k)) for k in keys])
+        + repr(tuple(cfg.subgraph_buckets))
+        + repr(cfg.data_root)
+        + src_sig
     )
     tag = hashlib.sha256(blob.encode()).hexdigest()[:16]
     root = os.environ.get(
@@ -289,6 +303,12 @@ def run_sgrl_learning(
     for key in logger:
         logger[key].add_info(cfg.epochs, cfg.runs)
         best_scores.append(logger[key].print_statistics())
+    if not best_scores:
+        raise RuntimeError(
+            "no evaluation results produced — for test_multiple_models this "
+            f"means no run{1}_model_checkpoint*.msgpack files were found in "
+            f"{cfg.res_dir or cfg.results_dir!r}"
+        )
 
     return (
         total_prep_time,
@@ -305,11 +325,30 @@ def _build_arg_parser() -> "argparse.ArgumentParser":
     import argparse
     import dataclasses
 
+    def str2bool(v: str) -> bool:
+        if isinstance(v, bool):
+            return v
+        if v.lower() in ("true", "1", "yes", "y", "t"):
+            return True
+        if v.lower() in ("false", "0", "no", "n", "f"):
+            return False
+        raise argparse.ArgumentTypeError(f"expected a boolean, got {v!r}")
+
     parser = argparse.ArgumentParser(description="S3GRL-TPU link prediction")
     for f in dataclasses.fields(RunConfig):
         name = f"--{f.name}"
         if f.type == "bool" or isinstance(f.default, bool):
-            parser.add_argument(name, action="store_true", default=f.default)
+            # Explicit-value bools: ``--use_feature false`` must be able to
+            # turn a True-default flag OFF (a bare ``--flag`` still means
+            # True, matching the reference argparse surface,
+            # sgrl_link_pred.py:1478-1580).
+            parser.add_argument(
+                name,
+                type=str2bool,
+                nargs="?",
+                const=True,
+                default=f.default,
+            )
         elif f.name in ("max_nodes_per_hop", "continue_from", "use_heuristic"):
             parser.add_argument(name, type=lambda v: None if v == "None" else (int(v) if v.isdigit() else v), default=f.default)
         elif f.name == "subgraph_buckets":

@@ -222,10 +222,19 @@ def fit_signnet(
                     rngs={"dropout": dkey}, mutable=["batch_stats"],
                 )
                 pos_out = pos_out.reshape(-1, 1)
-                neg_out = neg_out.reshape(-1, neg_ratio)
-                if loss_fn == "hinge_auc_loss":
+                if loss_fn == "weighted_auc_loss":
+                    # custom_losses.py:18-21; the run loop passes neg_ratio
+                    # as the weight and reshapes neg_out to (-1, 1)
+                    # (sgrl_link_pred.py:521-522).
+                    loss = (
+                        float(neg_ratio)
+                        * (1 - (pos_out - neg_out.reshape(-1, 1))) ** 2
+                    ).sum()
+                elif loss_fn == "hinge_auc_loss":
+                    neg_out = neg_out.reshape(-1, neg_ratio)
                     loss = (jnp.clip(1 - (pos_out - neg_out), min=0) ** 2).sum()
                 else:  # auc_loss (default)
+                    neg_out = neg_out.reshape(-1, neg_ratio)
                     loss = ((1 - (pos_out - neg_out)) ** 2).sum()
                 return loss, mut2["batch_stats"]
 

@@ -113,3 +113,30 @@ def test_profile_helper_schema(tmp_path):
     )
     combined = parse_profiling_data(str(tmp_path))
     assert combined
+
+
+def test_cli_bool_flags_round_trip():
+    """True-default bools must be disableable from the CLI (reference
+    argparse takes explicit values, sgrl_link_pred.py:1478-1580)."""
+    from s3grl_tpu.runner import _build_arg_parser
+
+    parser = _build_arg_parser()
+    args = parser.parse_args([])
+    assert args.use_feature is True  # the True default survives
+    args = parser.parse_args(["--use_feature", "false"])
+    assert args.use_feature is False
+    args = parser.parse_args(["--use_feature", "true", "--optimize_sign"])
+    assert args.use_feature is True
+    assert args.optimize_sign is True  # bare flag still means True
+    args = parser.parse_args(["--optimize_sign", "0", "--sign_k", "2"])
+    assert args.optimize_sign is False and args.sign_k == 2
+
+
+def test_only_test_requires_continue_from():
+    from s3grl_tpu.config import RunConfig
+    import pytest as _pytest
+
+    cfg = RunConfig(only_test=True)
+    with _pytest.raises(ValueError, match="continue_from"):
+        cfg.validate()
+    RunConfig(only_test=True, continue_from=3).validate()
