@@ -192,7 +192,7 @@ def run_sgrl_learning(
     t_prep0 = time.perf_counter()
     graph = init_features(
         graph, cfg.init_features, n2v_dim=cfg.n2v_dim, seed=cfg.seed,
-        epochs=cfg.epochs,
+        epochs=cfg.epochs, cache_key=cfg.dataset,
     )
     if cfg.init_representation:
         from s3grl_tpu.models.init_representation import pretrain_representation

@@ -206,3 +206,36 @@ def test_geom_gcn_loader_webkb():
         s = g.x.sum(axis=1)
         nz = s > 0
         np.testing.assert_allclose(s[nz], 1.0, rtol=1e-5)
+
+
+def test_n2v_embedding_disk_cache(tmp_path, monkeypatch):
+    """Second init_features call with the same (dataset, dim, seed) key must
+    load from disk instead of retraining (reference n2v_prep.py:19-22)."""
+    import s3grl_tpu.models.n2v as n2v_mod
+    from s3grl_tpu.data.features import init_features
+
+    monkeypatch.setenv("S3GRL_TPU_EMB_CACHE", str(tmp_path))
+    rng = np.random.default_rng(0)
+    ei = to_undirected(rng.integers(0, 20, size=(2, 40)).astype(np.int32))
+    g = Graph(num_nodes=20, edge_index=ei)
+
+    calls = {"n": 0}
+    real = n2v_mod.node2vec_pretrain
+
+    def counting(*a, **k):
+        calls["n"] += 1
+        return real(*a, **k)
+
+    monkeypatch.setattr(n2v_mod, "node2vec_pretrain", counting)
+
+    g1 = init_features(g, "n2v", n2v_dim=4, seed=1, epochs=1, cache_key="toy")
+    assert calls["n"] == 1
+    g2 = init_features(g, "n2v", n2v_dim=4, seed=1, epochs=1, cache_key="toy")
+    assert calls["n"] == 1  # cache hit: no retrain
+    np.testing.assert_allclose(g1.x, g2.x)
+    # different seed -> different key -> retrain
+    init_features(g, "n2v", n2v_dim=4, seed=2, epochs=1, cache_key="toy")
+    assert calls["n"] == 2
+    # no cache_key -> no caching
+    init_features(g, "n2v", n2v_dim=4, seed=1, epochs=1)
+    assert calls["n"] == 3
