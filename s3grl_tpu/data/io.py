@@ -257,6 +257,12 @@ def load_dataset(
             if os.path.isdir(os.path.join(candidate, name.lower())):
                 return load_geom_gcn(candidate, name, normalize=normalize)
         raise FileNotFoundError(f"geom-gcn raw data for {name} not found")
+    if name in ("CS", "Physics"):
+        return load_coauthor(data_root, name, normalize=normalize)
+    if name.startswith("attributed"):
+        # reference: args.dataset.split('-')[-1] (sgrl_link_pred.py:842)
+        return load_attributed(data_root, name.split("-")[-1],
+                               normalize=normalize)
     mat_path = os.path.join(data_root, f"{name}.mat")
     if os.path.exists(mat_path):
         return load_mat_unsplitted(data_root, name)
@@ -287,3 +293,65 @@ def dataset_source_paths(
         if os.path.exists(mat):
             paths = [mat]
     return [p for p in paths if os.path.isfile(p)][:8]
+
+
+COAUTHOR_DATASETS = ("CS", "Physics")
+COAUTHOR_RAW = {"CS": "ms_academic_cs.npz", "Physics": "ms_academic_phy.npz"}
+
+
+def load_coauthor(data_root: str, name: str, normalize: bool = True) -> Graph:
+    """Coauthor CS/Physics from the pre-downloaded PyG raw npz
+    (reference: sgrl_link_pred.py:916-918 uses ``Coauthor(path, name,
+    transform=NormalizeFeatures())``; the raw file is a scipy-CSR bundle
+    with adj_{data,indices,indptr,shape} + attr_{...} keys)."""
+    import scipy.sparse as ssp
+
+    path = os.path.join(data_root, name, "raw", COAUTHOR_RAW[name])
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"Coauthor raw file {path!r} not found. Pre-download with PyG "
+            f"`Coauthor(root, {name!r})` on a networked machine and copy "
+            f"the directory here."
+        )
+    with np.load(path, allow_pickle=True) as z:
+        adj = ssp.csr_matrix(
+            (z["adj_data"], z["adj_indices"], z["adj_indptr"]),
+            shape=tuple(z["adj_shape"]),
+        )
+        attr = ssp.csr_matrix(
+            (z["attr_data"], z["attr_indices"], z["attr_indptr"]),
+            shape=tuple(z["attr_shape"]),
+        )
+    coo = adj.tocoo()
+    edge_index = to_undirected(
+        np.stack([coo.row, coo.col]).astype(np.int32)
+    )
+    x = np.asarray(attr.todense(), dtype=np.float32)
+    if normalize:
+        x = normalize_features(x)
+    return Graph(num_nodes=adj.shape[0], edge_index=edge_index, x=x)
+
+
+def load_attributed(data_root: str, name: str, normalize: bool = True) -> Graph:
+    """AttributedGraphDataset (reference: sgrl_link_pred.py:841-847,
+    dataset names ``attributed-{BlogCatalog,Flickr,...}``) from the
+    pre-downloaded PyG raw dir: ``attrs.npz`` (scipy CSR or dense) +
+    ``edgelist.txt`` (u v per line)."""
+    import scipy.sparse as ssp
+
+    raw = os.path.join(data_root, name, "raw")
+    attrs_path = os.path.join(raw, "attrs.npz")
+    edges_path = os.path.join(raw, "edgelist.txt")
+    if not (os.path.exists(attrs_path) and os.path.exists(edges_path)):
+        raise FileNotFoundError(
+            f"AttributedGraphDataset raw files not found under {raw!r} "
+            f"(need attrs.npz + edgelist.txt). Pre-download with PyG "
+            f"`AttributedGraphDataset(root, {name!r})` and copy here."
+        )
+    attr = ssp.load_npz(attrs_path)
+    x = np.asarray(attr.todense(), dtype=np.float32)
+    edges = np.loadtxt(edges_path, dtype=np.int64, ndmin=2)
+    edge_index = to_undirected(edges.T.astype(np.int32))
+    if normalize:
+        x = normalize_features(x)
+    return Graph(num_nodes=x.shape[0], edge_index=edge_index, x=x)

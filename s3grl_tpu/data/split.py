@@ -172,16 +172,111 @@ def do_edge_split(
     )
 
 
+@dataclass
+class OgbEdgeSplit:
+    """OGB-format split container (reference: utils.py:637-678).
+
+    ``split_edge`` is the raw OGB split dict with numpy arrays, in either
+    layout:
+    - edge format: ``{split: {"edge": [E, 2], ["edge_neg": [E, 2]]}}``
+      (train "edge_neg" present only for pre-sampled-negative datasets
+      like ogbl-vessel);
+    - source/target format (ogbl-citation2):
+      ``{split: {"source_node", "target_node", ["target_node_neg"]}}``.
+
+    ``edge_index`` is the observed (train) graph — the self-loop-guarded
+    negative-sampling support when train negatives must be drawn fresh.
+    """
+
+    split_edge: dict
+    num_nodes: int
+    edge_index: np.ndarray  # [2, E] observed graph
+
+    @property
+    def valid_pos(self) -> np.ndarray:
+        d = self.split_edge["valid"]
+        if "edge" in d:
+            return np.asarray(d["edge"], dtype=np.int64)
+        return np.stack(
+            [np.asarray(d["source_node"]), np.asarray(d["target_node"])],
+            axis=1,
+        ).astype(np.int64)
+
+    def pos_neg(
+        self,
+        split: str,
+        percent: float = 100.0,
+        neg_ratio: int = 1,
+        rng: Optional[np.random.Generator] = None,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Both OGB branches of the reference's ``get_pos_neg_edges``
+        (utils.py:637-678). Returns (pos [P, 2], neg [Q, 2]) int64."""
+        if rng is None:
+            rng = np.random.default_rng(0)
+        d = self.split_edge[split]
+        if "edge" in self.split_edge["train"]:
+            pos_edge = np.asarray(d["edge"], dtype=np.int64)
+            if "edge_neg" in self.split_edge["train"]:
+                # pre-sampled negatives (ogbl-vessel; utils.py:641-643)
+                neg_edge = np.asarray(d["edge_neg"], dtype=np.int64)
+            else:
+                # Reference quirk preserved (utils.py:640-648): the
+                # presence check is on the TRAIN dict, so when train has
+                # no edge_neg (ogbl-collab/ppa/ddi), fresh self-loop-
+                # guarded negatives are sampled for EVERY split — OGB's
+                # official valid/test negatives are discarded.
+                key = _edge_key(self.edge_index[0], self.edge_index[1],
+                                self.num_nodes)
+                neg_edge = sample_negative_edges(
+                    self.num_nodes, key, len(pos_edge) * neg_ratio, rng
+                )
+            if percent < 100.0:
+                perm = rng.permutation(len(pos_edge))
+                pos_edge = pos_edge[perm[: int(percent / 100 * len(pos_edge))]]
+                perm = rng.permutation(len(neg_edge))
+                neg_edge = neg_edge[perm[: int(percent / 100 * len(neg_edge))]]
+            return pos_edge, neg_edge
+
+        # source/target format (utils.py:660-678)
+        source = np.asarray(d["source_node"], dtype=np.int64)
+        target = np.asarray(d["target_node"], dtype=np.int64)
+        if split == "train":
+            target_neg = rng.integers(
+                0, self.num_nodes, size=(len(target), 1), dtype=np.int64
+            )
+        else:
+            target_neg = np.asarray(d["target_node_neg"], dtype=np.int64)
+        if percent < 100.0:
+            perm = rng.permutation(len(source))
+            perm = perm[: int(percent / 100 * len(source))]
+            source, target, target_neg = (
+                source[perm], target[perm], target_neg[perm, :]
+            )
+        pos_edge = np.stack([source, target], axis=1)
+        k = target_neg.shape[1]
+        neg_edge = np.stack(
+            [np.repeat(source, k), target_neg.reshape(-1)], axis=1
+        )
+        return pos_edge, neg_edge
+
+
 def get_pos_neg_edges(
     split: str,
-    edge_split: EdgeSplit,
+    edge_split,
     percent: float = 100.0,
     rng: Optional[np.random.Generator] = None,
+    neg_ratio: int = 1,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Percent subsampling of a split's links (reference: utils.py:637-659).
+    """Percent subsampling of a split's links (reference: utils.py:637-678).
 
+    Dispatches on the split container: ``EdgeSplit`` (do_edge_split output)
+    or ``OgbEdgeSplit`` (OGB split-dict formats).
     Returns (pos [P, 2], neg [Q, 2]) int64.
     """
+    if isinstance(edge_split, OgbEdgeSplit):
+        return edge_split.pos_neg(
+            split, percent=percent, neg_ratio=neg_ratio, rng=rng
+        )
     d = edge_split.as_dict()[
         {"train": "train", "valid": "valid", "test": "test"}[split]
     ]

@@ -79,11 +79,13 @@ def _dataset_cache_path(cfg: RunConfig, split: str) -> str:
 
 
 def build_split_links(
-    split: str, edge_split: EdgeSplit, percent: float, rng
+    split: str, edge_split: EdgeSplit, percent: float, rng, neg_ratio: int = 1
 ) -> Tuple[np.ndarray, np.ndarray]:
     """(links [L, 2], y [L]) for one split: positives then negatives
     (SEALDataset.process ordering, sgrl_link_pred.py:193-204)."""
-    pos, neg = get_pos_neg_edges(split, edge_split, percent=percent, rng=rng)
+    pos, neg = get_pos_neg_edges(
+        split, edge_split, percent=percent, rng=rng, neg_ratio=neg_ratio
+    )
     links = np.concatenate([pos, neg], axis=0)
     y = np.concatenate([np.ones(len(pos)), np.zeros(len(neg))])
     return links, y
@@ -180,14 +182,21 @@ def run_sgrl_learning(
     rng, _ = seed_everything(cfg.seed)
 
     if graph is None:
-        full = load_dataset(cfg.dataset, cfg.data_root)
-        graph, edge_split = do_edge_split(
-            full,
-            val_ratio=cfg.split_val_ratio,
-            test_ratio=cfg.split_test_ratio,
-            neg_ratio=cfg.neg_ratio,
-            rng=rng,
-        )
+        if cfg.dataset.startswith("ogbl"):
+            # OGB family: pre-made split dict, observed graph = raw edges
+            # (reference sgrl_link_pred.py:826-828).
+            from s3grl_tpu.data.ogb import load_ogb_dataset
+
+            graph, edge_split = load_ogb_dataset(cfg.dataset, cfg.data_root)
+        else:
+            full = load_dataset(cfg.dataset, cfg.data_root)
+            graph, edge_split = do_edge_split(
+                full,
+                val_ratio=cfg.split_val_ratio,
+                test_ratio=cfg.split_test_ratio,
+                neg_ratio=cfg.neg_ratio,
+                rng=rng,
+            )
 
     t_prep0 = time.perf_counter()
     graph = init_features(
@@ -198,6 +207,22 @@ def run_sgrl_learning(
         from s3grl_tpu.models.init_representation import pretrain_representation
 
         graph = pretrain_representation(graph, edge_split, cfg)
+
+    if cfg.use_valedges_as_input:
+        # Append validation positives (undirected) to the observed
+        # message-passing graph (reference sgrl_link_pred.py:1018-1028 —
+        # applied after feature init, before dataset construction).
+        from s3grl_tpu.data.graph import to_undirected as _to_undirected
+
+        val_ei = _to_undirected(edge_split.valid_pos.T.astype(np.int32))
+        new_ei = np.concatenate([graph.edge_index, val_ei], axis=1)
+        new_w = None
+        if graph.edge_weight is not None:
+            new_w = np.concatenate(
+                [graph.edge_weight,
+                 np.ones(val_ei.shape[1], dtype=np.float32)]
+            )
+        graph = graph.with_edges(new_ei, new_w)
 
     if cfg.use_heuristic:
         from s3grl_tpu.heuristics import run_heuristic
@@ -222,7 +247,9 @@ def run_sgrl_learning(
         ("valid", cfg.val_percent),
         ("test", cfg.test_percent),
     ):
-        links, y = build_split_links(split, edge_split, percent, rng)
+        links, y = build_split_links(
+            split, edge_split, percent, rng, neg_ratio=cfg.neg_ratio
+        )
         cache_path = None if cfg.delete_dataset else _dataset_cache_path(cfg, split)
         if cache_path and os.path.exists(cache_path):
             # Processed-artifact reload (reference sgrl_link_pred.py:84-94).

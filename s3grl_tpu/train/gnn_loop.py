@@ -89,7 +89,7 @@ def run_gnn_learning(graph: Graph, edge_split: EdgeSplit, cfg: RunConfig, rng):
         ("valid", cfg.val_percent),
         ("test", cfg.test_percent),
     ):
-        links, y = build_split_links(split, edge_split, percent, rng)
+        links, y = build_split_links(split, edge_split, percent, rng, neg_ratio=cfg.neg_ratio)
         splits[split] = (links.astype(np.int32), y.astype(np.float32))
 
     # Pad size S: measured over all splits; sortpool k from the train split's

@@ -58,7 +58,7 @@ def run_walkpool_learning(
         ("valid", cfg.val_percent),
         ("test", cfg.test_percent),
     ):
-        links, y = build_split_links(split, edge_split, percent, rng)
+        links, y = build_split_links(split, edge_split, percent, rng, neg_ratio=cfg.neg_ratio)
         splits[split] = (links.astype(np.int32), y.astype(np.float32))
         link_seeds[split] = (
             np.int64(cfg.seed) * 1_000_003 + np.arange(len(links))
