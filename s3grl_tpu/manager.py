@@ -29,13 +29,27 @@ def _mean_std(arr) -> str:
     return f"{arr.mean():.2f} ± {std:.2f}"
 
 
-def sgrl_master_controller(config_path: str, results_json: str) -> dict:
+def sgrl_master_controller(
+    config_path: str,
+    results_json: str,
+    only: str | None = None,
+    max_seeds: int | None = None,
+) -> dict:
+    """Run a suite JSON; ``only`` is a comma-separated identifier filter and
+    ``max_seeds`` truncates each experiment's seed list (both are harness
+    conveniences; the reference controller always runs the full grid)."""
     suite = ExperimentSuite.load(config_path)
     exp_results: dict = {}
+    wanted = set(only.split(",")) if only else None
 
     by_identifier: dict = {}
     for identifier, dataset, seed, cfg in suite.runs():
-        by_identifier.setdefault(identifier, []).append((dataset, seed, cfg))
+        if wanted is not None and identifier not in wanted:
+            continue
+        runs = by_identifier.setdefault(identifier, [])
+        if max_seeds is not None and len(runs) >= max_seeds:
+            continue
+        runs.append((dataset, seed, cfg))
 
     for identifier, runs in by_identifier.items():
         best_test_scores, prep_times, total_run_times = [], [], []
@@ -80,8 +94,12 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=str, required=True)
     parser.add_argument("--results_json", type=str, default="result.json")
+    parser.add_argument("--only", type=str, default=None)
+    parser.add_argument("--max_seeds", type=int, default=None)
     args = parser.parse_args()
-    sgrl_master_controller(args.config, args.results_json)
+    sgrl_master_controller(
+        args.config, args.results_json, only=args.only, max_seeds=args.max_seeds
+    )
 
 
 if __name__ == "__main__":

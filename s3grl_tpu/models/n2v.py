@@ -75,7 +75,6 @@ def node2vec_pretrain(
 
     n_windows = walk_length + 1 - context_size + 1
 
-    @jax.jit
     def train_step(emb, opt_state, starts, key):
         kw, kn = jax.random.split(key)
         pos_rw = random_walks(dg.nbr, deg, starts, kw, walk_length)
@@ -119,19 +118,40 @@ def node2vec_pretrain(
         emb = optax.apply_updates(emb, updates)
         return emb, opt_state, loss
 
+    # Device-resident epochs: each epoch's minibatch loop is ONE compiled
+    # lax.scan program (one dispatch per epoch). The step-per-dispatch form
+    # (~2k dispatches) was latency-bound on remote TPU — ~130 s for USAir —
+    # and a single scan over ALL epochs' steps triggers a superlinear
+    # XLA:TPU compile blowup (42-step scan: 13 s; 2100-step: 542 s), so the
+    # sweet spot is scan-per-epoch: compile once, ~50 cheap dispatches.
     all_starts = np.repeat(np.arange(N, dtype=np.int32), walks_per_node)
     rng = np.random.default_rng(seed)
-    for _ in range(epochs):
+    steps = -(-len(all_starts) // batch_size)
+
+    def epoch_sched() -> np.ndarray:
         perm = rng.permutation(len(all_starts))
-        for s in range(0, len(all_starts), batch_size):
-            idx = perm[s : s + batch_size]
-            if len(idx) < batch_size:
-                idx = np.concatenate(
-                    [idx, rng.choice(len(all_starts), batch_size - len(idx))]
-                )
-                idx = idx.astype(np.int64)
-            key, sk = jax.random.split(key)
-            emb, opt_state, _ = train_step(
-                emb, opt_state, jnp.asarray(all_starts[idx]), sk
-            )
+        pad = steps * batch_size - len(all_starts)
+        if pad:
+            perm = np.concatenate([perm, rng.choice(len(all_starts), pad)])
+        return all_starts[perm].reshape(steps, batch_size)
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_epoch(emb, opt_state, sched, key):
+        def body(carry, xs):
+            emb, opt_state = carry
+            starts, k = xs
+            emb, opt_state, _ = train_step(emb, opt_state, starts, k)
+            return (emb, opt_state), ()
+
+        keys = jax.random.split(key, sched.shape[0])
+        (emb, opt_state), _ = jax.lax.scan(
+            body, (emb, opt_state), (sched, keys)
+        )
+        return emb, opt_state
+
+    for _ in range(epochs):
+        key, ek = jax.random.split(key)
+        emb, opt_state = train_epoch(
+            emb, opt_state, jnp.asarray(epoch_sched()), ek
+        )
     return np.asarray(emb, dtype=np.float32)

@@ -178,11 +178,14 @@ def test_fullrow_sop_rejects_positive_hops():
 def test_fullrow_end_to_end_drnl():
     """optimize_sign=False routes through the full-row dataset and trains."""
     seed_everything(1)
+    # n2v init features (F=16): one-hot degree on USAir gives F~1025, which
+    # blows the full-row dataset to [L, K+1, S, 1026] and made this test
+    # dominate the suite (370 s); the routing under test is F-independent.
     cfg = RunConfig(
         dataset="USAir", model="SIGN", sign_type="PoS", optimize_sign=False,
-        node_label="drnl", init_features="degree", use_feature=True,
+        node_label="drnl", init_features="n2v", n2v_dim=16, use_feature=True,
         sign_k=2, num_hops=1, epochs=2, hidden_channels=32,
-        train_percent=5.0, val_percent=20.0, test_percent=20.0,
+        train_percent=2.0, val_percent=10.0, test_percent=10.0,
         max_subgraph_nodes=128, subgraph_buckets=(32, 64, 128),
         delete_dataset=True, seed=1,
     )
