@@ -76,17 +76,24 @@ int32_t bfs_link(const int32_t* row_ptr, const int32_t* col_idx, int32_t src,
                  int32_t max_nodes) {
   const int32_t tick = ws.clock++;
   ws.frontier.clear();
-  int32_t count = 0;
+  int32_t count = 0;   // untruncated visited count
+  int32_t emitted = 0; // nodes actually written to nodes_out
   auto visit = [&](int32_t v) {
     if (ws.stamp[v] == tick) return false;
     ws.stamp[v] = tick;
-    if (nodes_out && count < max_nodes) nodes_out[count] = v;
     ++count;
     return true;
   };
+  auto emit = [&](int32_t v) {
+    if (nodes_out && emitted < max_nodes) nodes_out[emitted++] = v;
+  };
   visit(src);
+  emit(src);
   ws.frontier.push_back(src);
-  if (dst != src && visit(dst)) ws.frontier.push_back(dst);
+  if (dst != src && visit(dst)) {
+    emit(dst);
+    ws.frontier.push_back(dst);
+  }
   for (int h = 0; h < hops && !ws.frontier.empty(); ++h) {
     ws.next.clear();
     for (int32_t u : ws.frontier) {
@@ -95,10 +102,14 @@ int32_t bfs_link(const int32_t* row_ptr, const int32_t* col_idx, int32_t src,
         if (visit(v)) ws.next.push_back(v);
       }
     }
-    // Reference parity: each hop's fringe is added in sorted node order
-    // (utils.py:74 `nodes += sorted(fringe)` via set iteration of scipy
-    // indices; sorted is the deterministic contract our extractor uses).
+    // Reference parity: each hop's ring is appended in sorted node order
+    // (utils.py:74 `nodes += sorted(fringe)`). Two-phase (collect ring,
+    // sort, THEN emit) so that under max_nodes truncation the kept subset
+    // matches the reference / device extractor's (hop, node id) ordering —
+    // emitting at visit time kept a discovery-order subset instead
+    // (ADVICE r1).
     std::sort(ws.next.begin(), ws.next.end());
+    for (int32_t v : ws.next) emit(v);
     std::swap(ws.frontier, ws.next);
   }
   return count;

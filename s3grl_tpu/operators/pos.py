@@ -69,11 +69,17 @@ def _extract_and_operate(
     rw_m: int = 0,
     rw_M: int = 0,
     use_pallas: bool = False,
+    host_nodes=None,
 ):
     """Fused extraction + PoS operators: one dispatch per link batch.
 
     rw_m/rw_M > 0 selects ScaLed random-walk extraction (utils.py:86-150)
-    instead of BFS."""
+    instead of BFS. ``host_nodes`` optionally carries (nodes [B, S],
+    node_mask [B, S]) precomputed by the threaded native BFS core — the
+    large-graph route where the device edge-list BFS (O(B*E) per hop plus a
+    serializing TPU scatter over E indices) is the bottleneck; ordering is
+    identical ((hop, node id), src/dst first), so downstream results match.
+    """
     if rw_m and rw_M:
         from s3grl_tpu.sampling.random_walk import extract_rw_subgraphs
 
@@ -88,18 +94,32 @@ def _extract_and_operate(
         # ~97% of its time) never happens.
         from s3grl_tpu.sampling.extraction import extract_node_sets
 
-        nodes, node_mask, _, _ = extract_node_sets(
-            dg,
-            links,
-            num_hops=num_hops,
-            max_nodes=max_nodes,
-            ratio_per_hop=ratio_per_hop,
-            max_nodes_per_hop=max_nodes_per_hop,
-            link_seeds=link_seeds,
-        )
+        if host_nodes is not None:
+            nodes, node_mask = host_nodes
+        else:
+            nodes, node_mask, _, _ = extract_node_sets(
+                dg,
+                links,
+                num_hops=num_hops,
+                max_nodes=max_nodes,
+                ratio_per_hop=ratio_per_hop,
+                max_nodes_per_hop=max_nodes_per_hop,
+                link_seeds=link_seeds,
+            )
         return pos_operators_global(
             dg, links, nodes, node_mask,
             sign_k=sign_k, max_ccn=max_ccn, strategy=strategy,
+        )
+    elif host_nodes is not None:
+        from s3grl_tpu.sampling.extraction import assemble_local_structure
+
+        nodes, node_mask = host_nodes
+        sub = assemble_local_structure(
+            dg,
+            nodes,
+            node_mask,
+            jnp.zeros_like(nodes),  # dist unused by the operator path
+            node_mask.sum(axis=1).astype(jnp.int32),
         )
     else:
         sub = extract_subgraphs(
@@ -425,6 +445,36 @@ def precompute_pos(
                 batch_size=max(batch_size, 512),
             )
 
+    # --- large-graph route: host-native BFS for node sets ---
+    # The device edge-list BFS costs O(B*E) gather per hop plus a TPU
+    # scatter-add over E indices (which XLA serializes); past ~2e9 units of
+    # L*E work the threaded C++ BFS (native/graphcore.cpp) wins outright and
+    # the device keeps only assembly + operators. Orderings are identical,
+    # so the produced dataset matches the device path bit-for-bit.
+    import os as _os_he
+
+    _he_env = _os_he.environ.get("S3GRL_TPU_HOST_EXTRACT", "auto")
+    host_extract = (
+        extract_fn is _extract_and_operate
+        and not (rw_m and rw_M)
+        and ratio_per_hop >= 1.0
+        and max_nodes_per_hop is None
+        and _he_env != "0"
+        and (_he_env == "1" or L * int(dg.edge_src.shape[0]) >= 2e9)
+    )
+    host_csr = None
+    if host_extract:
+        from s3grl_tpu import native
+
+        if native.available():
+            _rp, _ci, _ = native.build_csr(
+                np.asarray(dg.edge_src), np.asarray(dg.edge_dst), None,
+                dg.num_nodes,
+            )
+            host_csr = (_rp, _ci)
+        else:
+            host_extract = False
+
     D_tab = int(dg.nbr.shape[1])
     F_feat = int(dg.x.shape[1]) + 1
 
@@ -479,6 +529,18 @@ def precompute_pos(
             if bsz < bsz_cap:  # pad batch to static size
                 lb = np.concatenate([lb, np.tile(lb[-1:], (bsz_cap - bsz, 1))])
                 ls = np.concatenate([ls, np.tile(ls[-1:], bsz_cap - bsz)])
+            extra = {}
+            if host_extract:
+                from s3grl_tpu import native
+
+                nd, _sz = native.khop_nodes(
+                    host_csr[0], host_csr[1], lb, num_hops, int(bucket)
+                )
+                hm = nd >= 0
+                extra["host_nodes"] = (
+                    jnp.asarray(np.where(hm, nd, 0)),
+                    jnp.asarray(hm),
+                )
             xs, row_mask = extract_fn(
                 dg,
                 jnp.asarray(lb),
@@ -493,6 +555,7 @@ def precompute_pos(
                 rw_m=rw_m,
                 rw_M=rw_M,
                 use_pallas=_pallas_for_bucket(int(bucket)),
+                **extra,
             )
             if bsz < xs.shape[0]:
                 xs, row_mask = xs[:bsz], row_mask[:bsz]

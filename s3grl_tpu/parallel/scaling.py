@@ -50,7 +50,10 @@ def _train_rate(mesh, ds, epochs: int, hidden: int, seed: int) -> float:
 
     n_data = mesh.shape["data"]
     L = len(ds.y)
-    batch = max(32 // n_data, 8) * n_data
+    # Weak scaling: per-device batch HELD CONSTANT (32/device) so the
+    # per-device step workload is identical at every device count
+    # (ADVICE r1: a shrinking per-device batch biased efficiency).
+    batch = 32 * n_data
     model = SIGNNet(hidden_channels=hidden, num_layers=ds.xs.shape[1] - 1,
                     dropout=0.5)
     key = jax.random.PRNGKey(seed)
@@ -140,6 +143,9 @@ def measure(
     ds_pos = precompute_pos_sharded(mesh, dg, links, y, **kw)
     t_pos = time.perf_counter() - t0
 
+    # SoP warmup (compile) before timing (ADVICE r1).
+    precompute_sop_sharded(mesh, dg, links[: 128 * n_devices],
+                           y[: 128 * n_devices], sign_k=sign_k)
     t0 = time.perf_counter()
     precompute_sop_sharded(mesh, dg, links, y, sign_k=sign_k)
     t_sop = time.perf_counter() - t0
@@ -185,8 +191,12 @@ def main():
         for key in ("pos_links_per_sec", "sop_links_per_sec",
                     "train_links_per_sec"):
             r_n = results[-1]
+            # Per-device rate at N vs per-device rate at the base count
+            # (base need not be 1 device — ADVICE r1).
             eff[key] = round(
-                (r_n[key] / r_n["devices"]) / max(base[key], 1e-9), 3
+                (r_n[key] / r_n["devices"])
+                / max(base[key] / base["devices"], 1e-9),
+                3,
             )
         print(json.dumps({"weak_scaling_efficiency": eff,
                           "from": base["devices"],

@@ -97,9 +97,62 @@ def test_khop_nodes_truncation_and_order():
     nodes, sizes = native.khop_nodes(rp, ci, links, 2, max_nodes=16)
     full_sizes = native.bfs_sizes(rp, ci, links, 2)
     np.testing.assert_array_equal(sizes, full_sizes)  # untruncated count
+    # Oracle: reference ordering is src, dst, then each BFS ring sorted by
+    # node id (utils.py:52-74 `nodes += sorted(fringe)`); truncation keeps a
+    # prefix of that order (ADVICE r1: emit must be two-phase post-sort).
+    adj = {u: [] for u in range(n)}
+    for u, v in zip(src.tolist(), dst.tolist()):
+        adj[u].append(v)
     for i, (s, d) in enumerate(links):
+        seen = {int(s), int(d)}
+        order = [int(s)] + ([int(d)] if d != s else [])
+        frontier = list(order)
+        for _ in range(2):
+            ring = set()
+            for u in frontier:
+                for v in adj[u]:
+                    if v not in seen:
+                        ring.add(v)
+            seen |= ring
+            frontier = sorted(ring)
+            order += frontier
         row = nodes[i]
         kept = row[row >= 0]
-        assert row[0] == s
         assert len(kept) == min(sizes[i], 16)
-        assert len(set(kept.tolist())) == len(kept)  # no dup slots
+        np.testing.assert_array_equal(kept, np.array(order[: len(kept)]))
+
+
+def test_host_extract_route_matches_device_route(monkeypatch):
+    """precompute_pos via the native host-BFS node sets must equal the
+    device edge-list-BFS route bit-for-bit (same ordering contract)."""
+    import jax.numpy as jnp
+
+    from s3grl_tpu.data.graph import Graph
+    from s3grl_tpu.operators.pos import precompute_pos
+    from s3grl_tpu.sampling.extraction import DeviceGraph
+
+    rng = np.random.default_rng(11)
+    n = 80
+    src, dst, _ = _coo(rng, n, 400)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    ei = np.stack([np.concatenate([src, dst]), np.concatenate([dst, src])])
+    g = Graph(edge_index=ei, num_nodes=n,
+              x=rng.normal(size=(n, 7)).astype(np.float32))
+    dg = DeviceGraph.from_graph(g)
+    links = rng.integers(0, n, (40, 2)).astype(np.int32)
+    links = links[links[:, 0] != links[:, 1]]
+    y = np.ones(len(links), dtype=np.float32)
+    kw = dict(num_hops=2, sign_k=3, buckets=(16, 32, 64), batch_size=8,
+              max_subgraph_nodes=64, seed=3, k_heuristic=1,
+              k_node_set_strategy="intersection", max_ccn=4)
+
+    monkeypatch.setenv("S3GRL_TPU_HOST_EXTRACT", "0")
+    dev = precompute_pos(dg, links, y, **kw).to_host()
+    monkeypatch.setenv("S3GRL_TPU_HOST_EXTRACT", "1")
+    host = precompute_pos(dg, links, y, **kw).to_host()
+
+    np.testing.assert_array_equal(np.asarray(host.row_mask),
+                                  np.asarray(dev.row_mask))
+    np.testing.assert_allclose(np.asarray(host.xs), np.asarray(dev.xs),
+                               rtol=0, atol=0)
