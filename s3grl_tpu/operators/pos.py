@@ -516,7 +516,14 @@ def precompute_pos(
     bucket_of = np.array([pick_bucket(int(s), buckets) for s in sizes[order]])
     for bucket in np.unique(bucket_of):
         idx_all = order[bucket_of == bucket]
-        per_link = max(int(bucket) * (F + 1), int(bucket) * int(bucket))
+        # Largest per-link transient: the [B, S, F] feature gather, the
+        # [B, S, S] adjacency, or (wide-degree graphs) the [B, S, D] global
+        # neighbor-table gather used by assembly.
+        per_link = max(
+            int(bucket) * (F + 1),
+            int(bucket) * int(bucket),
+            int(bucket) * D_tab,
+        )
         bsz_cap = max(8, min(batch_size, ELEM_BUDGET // per_link))
         # round down to a power of two: bounds the number of distinct
         # (batch, bucket) jit signatures (compile time matters on TPU)

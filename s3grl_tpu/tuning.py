@@ -77,7 +77,19 @@ def ray_tune_helper(
     rungs.append(max_epochs)
 
     survivors = list(range(len(trials)))
+    default_run = run_fn is None
     run_fn = run_fn or (lambda cfg: run_sgrl_learning(cfg)[1])
+
+    # Warm resume across rungs (VERDICT r1: retraining from scratch at every
+    # rung wastes the budget Ray's actor checkpointing saves). Each trial
+    # checkpoints into its own res_dir; a promoted trial continues from the
+    # previous rung's epoch instead of epoch 0, and the precompute artifact
+    # cache (runner.py) already makes its dataset build a cache hit.
+    import os as _os
+    import tempfile as _tf
+
+    ckpt_root = _tf.mkdtemp(prefix="s3grl_tune_")
+    prev_rung_epochs = [0] * len(trials)
 
     for rung_i, epochs in enumerate(rungs):
         if time.time() - start > time_budget_s:
@@ -87,9 +99,23 @@ def ray_tune_helper(
             if time.time() - start > time_budget_s:
                 break
             trial = trials[t_idx]
-            cfg = base_config.replace(**trial.config, epochs=int(epochs))
+            # Only the default runner is known to write/read checkpoints;
+            # custom run_fns (tests, dry harnesses) keep cold-start behavior.
+            resume = prev_rung_epochs[t_idx] if default_run else 0
+            if default_run:
+                cfg = base_config.replace(
+                    **trial.config,
+                    epochs=int(epochs),
+                    checkpoint_training=True,
+                    log_steps=1,
+                    res_dir=_os.path.join(ckpt_root, f"trial{t_idx}"),
+                    continue_from=int(resume) if resume else None,
+                )
+            else:
+                cfg = base_config.replace(**trial.config, epochs=int(epochs))
             try:
                 score = float(run_fn(cfg))
+                prev_rung_epochs[t_idx] = int(epochs)
             except Exception as exc:  # failed trial scores -inf
                 print(f"trial {t_idx} failed: {exc}")
                 score = float("-inf")
