@@ -140,3 +140,16 @@ def test_only_test_requires_continue_from():
     with _pytest.raises(ValueError, match="continue_from"):
         cfg.validate()
     RunConfig(only_test=True, continue_from=3).validate()
+
+
+def test_master_controller_only_and_max_seeds_filters(tiny_suite):
+    """--only restricts identifiers; --max_seeds truncates each seed list."""
+    from s3grl_tpu.manager import sgrl_master_controller
+
+    config_path, results_path = tiny_suite
+    out = sgrl_master_controller(
+        config_path, results_path, only="USAir_AA", max_seeds=1
+    )
+    assert set(out) == {"USAir_AA"}
+    # one seed -> zero std in every aggregated field
+    assert out["USAir_AA"]["results"]["Average Test AUC"].endswith("0.00")
