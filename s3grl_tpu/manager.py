@@ -84,6 +84,10 @@ def sgrl_master_controller(
                 "Total Model Parameters": _mean_std(total_params_arr),
             },
             "config_dump": ds_config,
+            # Sibling of the reference's results dict (not inside it, so the
+            # schema stays field-for-field compatible): how many seeded runs
+            # actually contributed, for the BASELINE.md seeds column.
+            "n_runs": len(runs),
         }
         with open(results_json, "w") as f:
             json.dump(exp_results, f)

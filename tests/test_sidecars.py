@@ -153,3 +153,46 @@ def test_master_controller_only_and_max_seeds_filters(tiny_suite):
     assert set(out) == {"USAir_AA"}
     # one seed -> zero std in every aggregated field
     assert out["USAir_AA"]["results"]["Average Test AUC"].endswith("0.00")
+
+
+def test_collect_baseline_merges_rows(tmp_path):
+    """scripts/collect_baseline.py merges fresh results into BASELINE.md's
+    marked table, replacing same-id rows and keeping unsuperseded ones."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    import collect_baseline as cb
+
+    payload = {
+        "results": {
+            "Average Runtime": "10.00 ± 1.00",
+            "Average Test AUC": "95.00 ± 0.50",
+            "Average Dataset Prep Time": "5.00 ± 0.10",
+            "Average Train time per epoch": "0.05 ± 0.00",
+            "Average Inf time per epoch": "0.02 ± 0.00",
+            "Total Model Parameters": "100 ± 0",
+        },
+        "n_runs": 3,
+    }
+    rdir = tmp_path / "results"
+    rdir.mkdir()
+    with open(rdir / "a.json", "w") as f:
+        json.dump({"USAir_PoS": payload}, f)
+    merged = cb.collect(str(rdir))
+    rows = {k: cb.row_for(k, v) for k, v in merged.items()}
+    assert "| USAir_PoS | 3 | 95.00 ± 0.50 |" in rows["USAir_PoS"]
+
+    md = tmp_path / "B.md"
+    md.write_text(
+        "pre\n<!-- RESULTS_TABLE_START -->\n"
+        "| Experiment | Seeds | Test AUC | Prep (s) | Train/epoch (s) | "
+        "Inf/epoch (s) | Runtime (s) |\n|---|---|---|---|---|---|---|\n"
+        "| USAir_PoS | 5 | 90.00 ± 1.00 | 1 | 1 | 1 | 1 |\n"
+        "| Power_SoP | 10 | 88.00 ± 1.00 | 1 | 1 | 1 | 1 |\n"
+        "<!-- RESULTS_TABLE_END -->\npost\n"
+    )
+    cb.update_markdown(dict(rows), path=str(md))
+    text = md.read_text()
+    assert "95.00 ± 0.50" in text          # replaced
+    assert "90.00 ± 1.00" not in text      # old row superseded
+    assert "Power_SoP | 10 | 88.00" in text  # unsuperseded row kept
+    assert text.startswith("pre\n") and text.rstrip().endswith("post")
