@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -74,23 +75,30 @@ def sgrl_master_controller(
             all_inference_times.extend(inference_times)
             total_params_arr.append(total_params)
 
-        exp_results[identifier] = {
-            "results": {
-                "Average Runtime": _mean_std(total_run_times),
-                "Average Test AUC": _mean_std(best_test_scores),
-                "Average Dataset Prep Time": _mean_std(prep_times),
-                "Average Train time per epoch": _mean_std(all_train_times),
-                "Average Inf time per epoch": _mean_std(all_inference_times),
-                "Total Model Parameters": _mean_std(total_params_arr),
-            },
-            "config_dump": ds_config,
-            # Sibling of the reference's results dict (not inside it, so the
-            # schema stays field-for-field compatible): how many seeded runs
-            # actually contributed, for the BASELINE.md seeds column.
-            "n_runs": len(runs),
-        }
-        with open(results_json, "w") as f:
-            json.dump(exp_results, f)
+            # Checkpoint the aggregate after every seeded run (the reference
+            # only writes at the end, sgrl_run_manager.py:169-181; per-run
+            # flushes make long suites salvageable under a wall-clock cap).
+            exp_results[identifier] = {
+                "results": {
+                    "Average Runtime": _mean_std(total_run_times),
+                    "Average Test AUC": _mean_std(best_test_scores),
+                    "Average Dataset Prep Time": _mean_std(prep_times),
+                    "Average Train time per epoch": _mean_std(all_train_times),
+                    "Average Inf time per epoch": _mean_std(
+                        all_inference_times),
+                    "Total Model Parameters": _mean_std(total_params_arr),
+                },
+                "config_dump": ds_config,
+                # Sibling of the reference's results dict (not inside it, so
+                # the schema stays field-for-field compatible): how many
+                # seeded runs actually contributed, for BASELINE.md's seeds
+                # column.
+                "n_runs": run_no,
+            }
+            tmp = results_json + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(exp_results, f)
+            os.replace(tmp, results_json)
     return exp_results
 
 
