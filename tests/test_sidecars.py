@@ -196,3 +196,40 @@ def test_collect_baseline_merges_rows(tmp_path):
     assert "90.00 ± 1.00" not in text      # old row superseded
     assert "Power_SoP | 10 | 88.00" in text  # unsuperseded row kept
     assert text.startswith("pre\n") and text.rstrip().endswith("post")
+
+
+def test_master_controller_flushes_after_each_run(tmp_path, monkeypatch):
+    """Results JSON is (re)written after every seeded run, so a wall-clock
+    kill mid-experiment salvages the completed seeds."""
+    import s3grl_tpu.manager as mgr
+
+    suite = {
+        "datasets": {
+            "Fake_PoS": {
+                "ds_params": {"runs": 3, "seeds": [1, 2, 3], "dataset": "USAir"},
+                "hyperparams_per_run": {"model": "SIGN", "sign_type": "PoS",
+                                        "optimize_sign": True},
+            }
+        }
+    }
+    cfg_path = tmp_path / "suite.json"
+    cfg_path.write_text(json.dumps(suite))
+    out_path = str(tmp_path / "out.json")
+
+    seen = []
+
+    def fake_run(cfg):
+        # Snapshot what was on disk BEFORE this run's flush.
+        if os.path.exists(out_path):
+            with open(out_path) as f:
+                seen.append(json.load(f)["Fake_PoS"]["n_runs"])
+        else:
+            seen.append(0)
+        return 1.0, 0.9, [0.1], [0.05], 123
+
+    monkeypatch.setattr(mgr, "run_sgrl_learning", fake_run)
+    res = mgr.sgrl_master_controller(str(cfg_path), out_path)
+    assert seen == [0, 1, 2]          # flush happened after run 1 and run 2
+    assert res["Fake_PoS"]["n_runs"] == 3
+    with open(out_path) as f:
+        assert json.load(f)["Fake_PoS"]["n_runs"] == 3
