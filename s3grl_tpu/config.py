@@ -98,7 +98,7 @@ class RunConfig:
     k_heuristic: int = 0
     k_node_set_strategy: str = ""  # union | intersection
     k_pool_strategy: str = ""  # mean | sum | concat
-    init_representation: str = ""  # GIC | ARGVA | GAE | VGAE
+    init_representation: str = ""  # GIC | ARGVA | GAE | VGAE | SVGAE
 
     # ---- TPU-native knobs (no reference analog) ----
     # Subgraph node-count pad. Per-link subgraphs are padded to the smallest

@@ -42,6 +42,19 @@ def pretrain_representation(
             epochs=cfg.epochs,
             seed=cfg.seed,
         )
+    elif kind == "SVGAE":
+        from s3grl_tpu.models.svgae import run_svgae
+
+        # reference protocol: Z_DIM=64 fixed, lr 1e-2, 2000 epochs
+        # (svgae.py:151-160); epochs come from cfg so suites stay bounded.
+        _, z = run_svgae(
+            graph,
+            edge_index,
+            test_and_val,
+            embedding_dim=64,
+            epochs=cfg.epochs,
+            seed=cfg.seed,
+        )
     elif kind == "GIC":
         from s3grl_tpu.models.gic import run_gic
 

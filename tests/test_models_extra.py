@@ -219,3 +219,71 @@ def test_n2v_pretrain_finite_when_saturated():
     # embeddings must carry signal, not stay at init: columns uncorrelated
     # with N(0,1) init would keep ~unit std; training shifts the scale.
     assert emb.std() > 0
+
+
+def test_svgae_vmf_numerics_vs_scipy():
+    """bessel_ratio / log_iv / vmf_kl against scipy.special.ive oracles
+    (the quantities the torch reference gets from s-vae-pytorch's ive)."""
+    from scipy.special import ive, gammaln
+
+    from s3grl_tpu.models.svgae import bessel_ratio, log_iv, vmf_kl
+
+    m = 65  # reference latent dim: Z_DIM=64 (+1 in vmf mode, svgae.py:155)
+    nu = m / 2.0 - 1.0
+    kappa = np.array([0.5, 1.0, 5.0, 20.0, 80.0, 300.0])
+
+    ours_ratio = np.asarray(bessel_ratio(nu + 1.0, jnp.asarray(kappa)))
+    ref_ratio = ive(nu + 1.0, kappa) / ive(nu, kappa)
+    np.testing.assert_allclose(ours_ratio, ref_ratio, rtol=1e-4)
+
+    ours_logiv = np.asarray(log_iv(nu, jnp.asarray(kappa)))
+    ref_logiv = np.log(ive(nu, kappa)) + kappa
+    np.testing.assert_allclose(ours_logiv, ref_logiv, rtol=0, atol=2e-4)
+
+    # full KL against the exact formula assembled from scipy parts
+    ref_kl = (
+        kappa * ref_ratio
+        + (nu * np.log(kappa) - (nu + 1) * np.log(2 * np.pi) - ref_logiv)
+        + (np.log(2.0) + (m / 2.0) * np.log(np.pi) - gammaln(m / 2.0))
+    )
+    ours_kl = np.asarray(vmf_kl(jnp.asarray(kappa), m))
+    # dominant error is kappa * ratio_err (<=3e-5 rel) at large kappa
+    np.testing.assert_allclose(ours_kl, ref_kl, rtol=1e-3, atol=1e-3)
+    assert (ours_kl >= -1e-4).all()  # KL is nonnegative
+
+
+def test_svgae_vmf_sampler():
+    """Samples are unit-norm and concentrate around mu as kappa grows."""
+    from s3grl_tpu.models.svgae import vmf_sample
+
+    key = jax.random.PRNGKey(0)
+    N, m = 256, 17
+    mu = jax.random.normal(key, (N, m))
+    mu = mu / jnp.linalg.norm(mu, axis=1, keepdims=True)
+    for kap, min_cos in ((2.0, 0.0), (200.0, 0.9)):
+        z = vmf_sample(
+            jax.random.PRNGKey(1), mu, jnp.full((N, 1), kap)
+        )
+        nrm = np.asarray(jnp.linalg.norm(z, axis=1))
+        np.testing.assert_allclose(nrm, 1.0, atol=1e-5)
+        cos = np.asarray(jnp.sum(z * mu, axis=1))
+        assert cos.mean() > min_cos
+
+
+def test_svgae_init_representation_learns():
+    tg, split, _ = small_setup()
+    from s3grl_tpu.models.svgae import run_svgae
+
+    sd = split.as_dict()
+    tv = (
+        sd["test"]["edge"].T, sd["test"]["edge_neg"].T,
+        sd["valid"]["edge"].T, sd["valid"]["edge_neg"].T,
+    )
+    best, z = run_svgae(
+        tg, sd["train"]["edge"].T, tv, embedding_dim=16, epochs=150,
+        eval_every=25,
+    )
+    assert z.shape == (tg.num_nodes, 17)  # S^{m-1} with m = dim + 1
+    np.testing.assert_allclose(np.linalg.norm(z, axis=1), 1.0, atol=1e-4)
+    # reaches ~90 at 400 epochs (reference runs 2000); 150 is the fast check
+    assert best > 65.0
