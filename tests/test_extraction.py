@@ -228,3 +228,41 @@ def test_sizing_pass_matches_extraction():
         dg, jnp.asarray(links, dtype=jnp.int32), num_hops=2, max_nodes=50
     )
     assert np.array_equal(sizes, np.asarray(sub.sub_size))
+
+
+def test_de_plus_matches_scipy_masked_shortest_path():
+    """de+ differential test vs the reference's masked shortest-path oracle
+    (utils.py:255-278: dist-to-src computed with dst deleted and vice versa,
+    dist capped at 100, unreachable -> 101, counterpart position -> 0)."""
+    from scipy.sparse.csgraph import shortest_path
+
+    g = random_graph(n=35, p=0.15, seed=9)
+    dg = DeviceGraph.from_graph(g)
+    A = g.scipy_csr()
+    links = np.array([[0, 1], [4, 17], [22, 3]], dtype=np.int32)
+    sub = extract_subgraphs(dg, jnp.asarray(links), num_hops=2, max_nodes=35)
+    z = np.asarray(
+        label_nodes(sub.adj, sub.dist, sub.node_mask, node_label="de+")
+    )
+    for b, (s, d) in enumerate(links):
+        nodes_ref, _ = bfs_subgraph_nodes(A, int(s), int(d), 2)
+        n = len(nodes_ref)
+        adj_ref = induced_subgraph(A, nodes_ref)  # src at 0, dst at 1
+        src, dst = 0, 1
+
+        def masked_dist(target, deleted, size):
+            idx = [i for i in range(size) if i != deleted]
+            sp = shortest_path(
+                adj_ref[np.ix_(idx, idx)], directed=False, unweighted=True,
+                indices=idx.index(target),
+            )
+            sp = np.insert(sp, deleted, 0, axis=0)
+            sp = np.minimum(sp, 100.0)
+            sp[np.isnan(sp) | np.isinf(sp)] = 101.0
+            return sp
+
+        exp_s = masked_dist(src, dst, n)
+        exp_d = masked_dist(dst, src, n)
+        got = z[b, :n]
+        assert np.allclose(got[:, 0], exp_s), f"link {b} dist2src"
+        assert np.allclose(got[:, 1], exp_d), f"link {b} dist2dst"
