@@ -127,12 +127,18 @@ def _exp(dataset: str, hyper: dict, runs: int = 10) -> dict:
     }
 
 
+# The reference spreads suites across GPUs; the field is carried verbatim
+# for byte-level config parity (ignored on TPU — config.py:74).
+_AUC_CUDA = {"PoS": 1, "PoS_Plus": 2, "SoP": 3}
+
+
 def auc_s3grl() -> dict:
     """{PoS_Plus, PoS, SoP} x 14 datasets, 10 seeds (paper Table 3/4)."""
     out = {}
     for variant in ("PoS_Plus", "PoS", "SoP"):
         for ds in NON_ATTRIBUTED + ATTRIBUTED:
             h = {**SIGN_BASE, **_feat_flags(ds)}
+            h["cuda_device"] = _AUC_CUDA[variant]
             if variant == "SoP":
                 h.update({"sign_type": "SoP", "num_hops": -1})
             else:
@@ -161,6 +167,7 @@ def table_2() -> dict:
                 "num_hops": 3 if is_attr else 2,
                 "dynamic_train": ds in dynamic,
                 "sortpool_k": -1 if (model == "GCN" and is_attr) else 0.6,
+                "cuda_device": 1 if is_attr else 0,
             }
             name = "Chameleon" if ds == "chameleon" else ds
             out[f"{name}_{tag}"] = _exp(ds, h)
@@ -173,6 +180,7 @@ def scaled() -> dict:
     for variant in ("PoS", "PoS_Plus"):
         for ds in ("Cora", "CiteSeer"):
             base = {**SIGN_BASE, **_feat_flags(ds), "sign_type": "PoS"}
+            base["cuda_device"] = _AUC_CUDA[variant]
             if variant == "PoS_Plus":
                 base.update(POS_PLUS)
             out[f"{ds}_{variant}"] = _exp(ds, dict(base))
@@ -186,7 +194,7 @@ def _profiling(datasets: list[str]) -> dict:
     out = {}
     for variant in ("PoS", "PoS_Plus", "SoP"):
         for ds in datasets:
-            h = {**SIGN_BASE, **_feat_flags(ds)}
+            h = {**SIGN_BASE, **_feat_flags(ds), "cuda_device": 0}
             if variant == "SoP":
                 h.update({"sign_type": "SoP", "num_hops": -1})
             else:
@@ -207,6 +215,7 @@ def _profiling(datasets: list[str]) -> dict:
                 "num_hops": 3 if is_attr else 2,
                 "dynamic_train": ds == "Pubmed",
                 "sortpool_k": -1 if (model == "GCN" and is_attr) else 0.6,
+                "cuda_device": 0,
             }
             out[f"{ds}_{tag}"] = _exp(ds, h, runs=1)
     return out

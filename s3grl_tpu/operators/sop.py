@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from s3grl_tpu.operators.common import OperatorDataset
-from s3grl_tpu.ops.spmm import normalized_adjacency_weights, spmm
+from s3grl_tpu.ops.spmm import spmm
 from s3grl_tpu.sampling.extraction import DeviceGraph
 
 
@@ -125,19 +125,23 @@ def precompute_sop(
     L = links.shape[0]
     links = np.asarray(links, dtype=np.int32)
 
-    norm_w = normalized_adjacency_weights(dg.edge_src, dg.edge_dst, N)
+    # Normalized weights computed host-side (E-sized, cheap) so the Pallas
+    # blockify path never reads a device buffer back over the tunnel.
+    src_h, dst_h, _ = dg.host_edges()
+    deg_h = np.zeros(N, dtype=np.float32)
+    np.add.at(deg_h, dst_h, 1.0)
+    inv_sqrt_h = np.where(deg_h > 0, 1.0 / np.sqrt(np.maximum(deg_h, 1e-30)), 0.0)
+    norm_w_h = (inv_sqrt_h[src_h] * inv_sqrt_h[dst_h]).astype(np.float32)
+    norm_w = jnp.asarray(norm_w_h)
 
     from s3grl_tpu.ops import spmm_pallas as sp
 
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu" and sp.should_use_pallas(
-            np.asarray(dg.edge_src), np.asarray(dg.edge_dst), N, F
+            src_h, dst_h, N, F
         )
     if use_pallas:
-        adj = sp.blockify(
-            np.asarray(dg.edge_src), np.asarray(dg.edge_dst),
-            np.asarray(norm_w), N,
-        )
+        adj = sp.blockify(src_h, dst_h, norm_w_h, N)
         ys = sp.power_chain(adj, x_global, sign_k)
     else:
         ys = _sop_power_features(

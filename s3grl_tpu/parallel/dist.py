@@ -217,7 +217,6 @@ def precompute_sop_sharded(
     the batch axis.
     """
     from s3grl_tpu.operators import sop as sop_mod
-    from s3grl_tpu.ops.spmm import normalized_adjacency_weights
 
     assert dg.x is not None or x_override is not None
     x_global = dg.x if x_override is None else jnp.asarray(x_override)
@@ -227,13 +226,15 @@ def precompute_sop_sharded(
     links = np.asarray(links, dtype=np.int32)
     n = mesh.shape[axis]
 
-    norm_w = np.asarray(
-        normalized_adjacency_weights(dg.edge_src, dg.edge_dst, N)
-    )
+    src_h, dst_h, _ = dg.host_edges()
+    deg_h = np.zeros(N, dtype=np.float32)
+    np.add.at(deg_h, dst_h, 1.0)
+    inv_h = np.where(deg_h > 0, 1.0 / np.sqrt(np.maximum(deg_h, 1e-30)), 0.0)
+    norm_w = (inv_h[src_h] * inv_h[dst_h]).astype(np.float32)
     ys = dist_power_chain(
         mesh,
-        np.asarray(dg.edge_src),
-        np.asarray(dg.edge_dst),
+        src_h,
+        dst_h,
         norm_w,
         x_global,
         sign_k,

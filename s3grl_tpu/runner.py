@@ -181,6 +181,32 @@ def run_sgrl_learning(
     cfg.validate()
     rng, _ = seed_everything(cfg.seed)
 
+    # --- per-run results dir + command/log files (reference protocol:
+    # sgrl_link_pred.py:791-823 — timestamped res_dir, cmd_input.txt append,
+    # log.txt header; per-epoch lines + final statistics appended below) ---
+    import sys as _sys
+
+    save_appendix = cfg.save_appendix
+    if save_appendix == "":
+        save_appendix = "_" + time.strftime("%Y%m%d%H%M%S") + f"_seed{cfg.seed}"
+        if cfg.m and cfg.M:
+            save_appendix += (
+                f"_m{cfg.m}_M{cfg.M}_dropedge{cfg.dropedge}_seed{cfg.seed}"
+            )
+    res_dir = cfg.res_dir or os.path.join(
+        cfg.results_dir, f"{cfg.dataset}{save_appendix}"
+    )
+    log_file = os.path.join(res_dir, "log.txt")
+    try:
+        os.makedirs(res_dir, exist_ok=True)
+        cmd_input = "python " + " ".join(_sys.argv) + "\n"
+        with open(os.path.join(res_dir, "cmd_input.txt"), "a") as f:
+            f.write(cmd_input)
+        with open(log_file, "a") as f:
+            f.write("\n" + cmd_input)
+    except OSError:  # read-only results root: keep running, drop file logs
+        log_file = None
+
     if graph is None:
         if cfg.dataset.startswith("ogbl"):
             # OGB family: pre-made split dict, observed graph = raw edges
@@ -273,6 +299,20 @@ def run_sgrl_learning(
     )
     eval_fn = make_eval_fn(eval_metric)
 
+    def _log_hook(epoch: int, loss: float, results: dict) -> None:
+        # Per-epoch log lines (reference sgrl_link_pred.py:1419-1428 format).
+        if log_file is None or epoch % cfg.log_steps != 0:
+            return
+        with open(log_file, "a") as f:
+            for key, (valid_res, test_res) in results.items():
+                print(key, file=f)
+                print(
+                    f"Run: {1:02d}, Epoch: {epoch:02d}, "
+                    f"Loss: {loss:.4f}, Valid: {100 * valid_res:.2f}%, "
+                    f"Test: {100 * test_res:.2f}%",
+                    file=f,
+                )
+
     seed_everything(cfg.seed)  # reset rng for model weights (reference :1280)
     fit = fit_signnet(
         datasets["train"],
@@ -299,8 +339,9 @@ def run_sgrl_learning(
         continue_from=cfg.continue_from,
         only_test=cfg.only_test,
         test_multiple_models=cfg.test_multiple_models,
-        res_dir=cfg.res_dir or f"{cfg.results_dir}/{cfg.dataset}_seed{cfg.seed}",
+        res_dir=res_dir,
         log_steps=cfg.log_steps,
+        logger_hook=_log_hook,
     )
 
     if cfg.profile:
@@ -330,6 +371,12 @@ def run_sgrl_learning(
     for key in logger:
         logger[key].add_info(cfg.epochs, cfg.runs)
         best_scores.append(logger[key].print_statistics())
+        if log_file is not None:
+            # Final statistics appended to log.txt (reference
+            # sgrl_link_pred.py:1438-1443).
+            with open(log_file, "a") as f:
+                print(key, file=f)
+                logger[key].print_statistics(0, f=f)
     if not best_scores:
         raise RuntimeError(
             "no evaluation results produced — for test_multiple_models this "

@@ -69,7 +69,7 @@ class DeviceGraph:
             if g.edge_weight is not None
             else np.ones(g.num_edges, dtype=np.float32)
         )
-        return cls(
+        dg = cls(
             num_nodes=g.num_nodes,
             edge_src=jnp.asarray(g.edge_index[0], dtype=jnp.int32),
             edge_dst=jnp.asarray(g.edge_index[1], dtype=jnp.int32),
@@ -78,6 +78,34 @@ class DeviceGraph:
             nbr_w=jnp.asarray(nbr_w),
             nbr_mask=jnp.asarray(mask),
             x=None if g.x is None else jnp.asarray(g.x, dtype=jnp.float32),
+        )
+        # Host-side copy of the edge arrays for host consumers (native BFS
+        # CSR build, CCN sizing, BSR blockify): reading a device buffer back
+        # over the remote-TPU tunnel stalls minutes on first fetch (pool
+        # claim), so host drivers must never round-trip for data the host
+        # already had. Stored outside the pytree (lost across jit
+        # flatten/unflatten — host drivers hold the original instance).
+        object.__setattr__(
+            dg,
+            "_host_edges",
+            (
+                np.asarray(g.edge_index[0], dtype=np.int32),
+                np.asarray(g.edge_index[1], dtype=np.int32),
+                np.asarray(w, dtype=np.float32),
+            ),
+        )
+        return dg
+
+    def host_edges(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(src, dst, weight) as host numpy arrays — cached copy when built
+        via from_graph, device fetch otherwise."""
+        cached = getattr(self, "_host_edges", None)
+        if cached is not None:
+            return cached
+        return (
+            np.asarray(self.edge_src),
+            np.asarray(self.edge_dst),
+            np.asarray(self.edge_weight),
         )
 
 

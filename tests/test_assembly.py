@@ -42,6 +42,48 @@ def test_measure_ccn_width_matches_bruteforce():
         assert got == max(1, brute), strategy
 
 
+def test_ccn_cap_boundary_warns_and_truncates_lowest_slots():
+    """At the cap boundary (VERDICT r2 weak #8): capping below the measured
+    max |CCN| warns, and the surviving rows are exactly the uncapped
+    dataset's lowest-local-slot CCN rows (closest hops kept first)."""
+    g, dg, links = _setup(seed=11, n=60)
+    measured = measure_ccn_width(dg, links, "union", cap=10_000)
+    assert measured > 2, "fixture must have a link with |CCN| > 2"
+
+    # cap >= measured: silent, returns the measured width
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        assert measure_ccn_width(dg, links, "union", cap=measured) == measured
+
+    # cap < measured: warn + truncate
+    cap = measured - 1
+    with pytest.warns(UserWarning, match="CCN width capped"):
+        got = measure_ccn_width(dg, links, "union", cap=cap)
+    assert got == cap
+
+    y = np.ones(len(links))
+    kw = dict(
+        num_hops=2, sign_k=2, k_heuristic=1, k_node_set_strategy="union",
+        buckets=(16, 32, 64), batch_size=8, max_subgraph_nodes=64, seed=5,
+    )
+    full = precompute_pos(dg, links, y, max_ccn=measured, **kw).to_host()
+    with pytest.warns(UserWarning, match="CCN width capped"):
+        capped = precompute_pos(dg, links, y, max_ccn=cap, **kw).to_host()
+    # CCN selection keeps the max_ccn LOWEST local slots (operators/pos.py
+    # top_k over -slot): capped rows == first `cap` CCN rows of the full run.
+    np.testing.assert_allclose(
+        capped.xs[:, :, : 2 + cap], full.xs[:, :, : 2 + cap],
+        rtol=1e-6, atol=1e-6,
+    )
+    np.testing.assert_array_equal(
+        capped.row_mask, full.row_mask[:, : 2 + cap]
+    )
+    # at least one link actually lost a row to the cap
+    assert (full.row_mask[:, 2 + cap :].sum(axis=1) > 0).any()
+
+
 def test_assembly_tiers_agree(monkeypatch):
     """bf16-device and host-f32 assembly must match the f32-device dataset
     (bf16 to storage precision)."""

@@ -27,6 +27,25 @@ def generated():
     )
 
 
+REFERENCE_PAPER = "/root/reference/configs/paper"
+
+
+@pytest.mark.parametrize("name", sorted(EXPECTED))
+def test_suite_equals_reference_exactly(name):
+    """Generated suites are field-for-field EQUAL to the reference's
+    (/root/reference/configs/paper/*.json) — full parsed-JSON equality,
+    no exception list (VERDICT r2 item 8; includes cuda_device, which the
+    TPU runner accepts and ignores, config.py:74)."""
+    ref_path = os.path.join(REFERENCE_PAPER, f"{name}.json")
+    if not os.path.exists(ref_path):
+        pytest.skip("reference config corpus not available")
+    with open(os.path.join(PAPER, f"{name}.json")) as f:
+        ours = json.load(f)
+    with open(ref_path) as f:
+        ref = json.load(f)
+    assert ours == ref
+
+
 @pytest.mark.parametrize("name,count", sorted(EXPECTED.items()))
 def test_suite_sizes_and_schema(name, count):
     with open(os.path.join(PAPER, f"{name}.json")) as f:

@@ -53,6 +53,34 @@ def test_master_controller_results_schema(tiny_suite):
     assert "Average Test AUC" in out["USAir_AA"]["results"]
 
 
+def test_per_run_results_dir_log_and_cmd_input(tmp_path):
+    """Every run writes log.txt + cmd_input.txt into its results dir
+    (reference protocol sgrl_link_pred.py:808-823, 1419-1443): cmd line
+    appended to both, per-epoch 'Run/Epoch/Loss/Valid/Test' lines, final
+    statistics block."""
+    from s3grl_tpu.config import RunConfig
+    from s3grl_tpu.runner import run_sgrl_learning
+
+    cfg = RunConfig(
+        dataset="USAir", model="SIGN", sign_type="PoS", optimize_sign=True,
+        pool_operatorwise=True, init_features="degree", use_feature=True,
+        sign_k=2, num_hops=1, epochs=2, seed=1, train_percent=20,
+        val_percent=50, test_percent=50, max_subgraph_nodes=256,
+        results_dir=str(tmp_path),
+    )
+    run_sgrl_learning(cfg)
+    run_dirs = [d for d in os.listdir(tmp_path) if d.startswith("USAir_")]
+    assert len(run_dirs) == 1, "one timestamped res_dir per run"
+    res_dir = os.path.join(str(tmp_path), run_dirs[0])
+    with open(os.path.join(res_dir, "cmd_input.txt")) as f:
+        assert f.read().startswith("python ")
+    with open(os.path.join(res_dir, "log.txt")) as f:
+        log = f.read()
+    assert "python " in log  # header = cmd input (reference :822-823)
+    assert "Run: 01, Epoch: 01," in log and "Valid:" in log and "Test:" in log
+    assert "Highest Valid:" in log  # final statistics block
+
+
 def test_tuning_harness_reports_best_trial(tmp_path):
     from s3grl_tpu.config import RunConfig
     from s3grl_tpu.tuning import ray_tune_helper
