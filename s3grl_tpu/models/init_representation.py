@@ -43,16 +43,23 @@ def pretrain_representation(
             seed=cfg.seed,
         )
     elif kind == "SVGAE":
+        import os as _os
+
         from s3grl_tpu.models.svgae import run_svgae
 
-        # reference protocol: Z_DIM=64 fixed, lr 1e-2, 2000 epochs
-        # (svgae.py:151-160); epochs come from cfg so suites stay bounded.
+        # Reference protocol: Z_DIM=64 fixed, lr 1e-2, and a HARD-CODED 2000
+        # pretraining epochs (WalkPooling/software/svgae.py:160) — unlike
+        # GAE/VGAE/ARGVA, which train for args.epochs (vgae.py:114). Using
+        # cfg.epochs here (typically 50) would silently produce non-parity
+        # SVGAE inits (ADVICE r2). Overridable only via env for bounded
+        # smoke runs.
+        svgae_epochs = int(_os.environ.get("S3GRL_TPU_SVGAE_EPOCHS", "2000"))
         _, z = run_svgae(
             graph,
             edge_index,
             test_and_val,
             embedding_dim=64,
-            epochs=cfg.epochs,
+            epochs=svgae_epochs,
             seed=cfg.seed,
         )
     elif kind == "GIC":

@@ -67,9 +67,10 @@ def bessel_ratio(nu: float, kappa: jnp.ndarray) -> jnp.ndarray:
     small-argument limit and iterating down converges once the start index
     exceeds kappa (continued-fraction truncation). Large kappa (where depth D
     no longer dominates the argument): ratio of Olver asymptotics, whose
-    expansion errors largely cancel in the log difference. Verified <=3e-5
+    expansion errors largely cancel in the log difference. Verified <=1e-4
     relative error vs scipy.special.ive for kappa <= 1000 across m in 9..129
-    (tests/test_models_extra.py::test_svgae_vmf_numerics_vs_scipy).
+    (worst observed ~5.5e-5 at kappa ~650-1000;
+    tests/test_models_extra.py::test_svgae_vmf_numerics_vs_scipy).
     """
     r = kappa / (2.0 * (nu + _RATIO_DEPTH))
     for j in range(_RATIO_DEPTH - 1, -1, -1):

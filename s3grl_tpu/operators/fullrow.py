@@ -128,6 +128,12 @@ def _extract_and_operate_fullrow(
 
     Fz = subg_x.shape[-1]
     D = sub.nbr_local.shape[2]
+    # The [B*S*D, Fz] gather keeps Fz (label+feature width, >= 17 in every
+    # non-optimized config) in the minor dim — tiling pad <= 7.5x at worst,
+    # and the full-row flows only run on the small reference datasets. The
+    # narrow-minor-dim blowup this layout CAN hit is guarded in the
+    # optimized path (operators/pos.py, R as small as 2 at large-graph
+    # scale) by per-row 1-D gathers.
     ops = [subg_x]
     y = subg_x
     for _ in range(sign_k):
@@ -275,15 +281,18 @@ def _sop_fullrow_batch(
         # drnl fixes z=1 on both targets (utils.py:228-236 z[0]=z[1]=1).
         z = jnp.ones((B, 2, 1))
     elif node_label == "de":
-        # distances on the INTACT 2-node diag graph: 0 to self, unreachable
-        # (-> max_dist + 1 = 4) to the counterpart (utils.py:241-252).
+        # distances on the 2-node diag graph (target link removed): 0 to
+        # self, unreachable to the counterpart -> capped at max_dist = 3
+        # (the reference's isnan -> 4 branch is dead: scipy returns inf,
+        # caught by the > max_dist cap first, utils.py:250-251).
         z = jnp.tile(
-            jnp.asarray([[0.0, 4.0], [4.0, 0.0]])[None], (B, 1, 1)
+            jnp.asarray([[0.0, 3.0], [3.0, 0.0]])[None], (B, 1, 1)
         )
     elif node_label == "de+":
-        # masked distances, unreachable -> 101 (utils.py:255-278)
+        # masked distances, unreachable -> 100 (dead isnan branch,
+        # utils.py:274-277)
         z = jnp.tile(
-            jnp.asarray([[0.0, 101.0], [101.0, 0.0]])[None], (B, 1, 1)
+            jnp.asarray([[0.0, 100.0], [100.0, 0.0]])[None], (B, 1, 1)
         )
     elif node_label == "degree":
         z = jnp.zeros((B, 2, 1))  # filled per power below

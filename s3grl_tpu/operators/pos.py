@@ -238,16 +238,28 @@ def pos_operators(
 
     ops = [x0]
     for _ in range(sign_k):
-        gathered = jnp.take(h.reshape(B * S, R), flat_j, axis=0).reshape(
-            B, S, D, R
-        )
-        h = jnp.einsum(
-            "bsd,bsdr->bsr",
-            w_norm,
-            gathered,
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )
+        # Advance each selector row with its own 1-D gather. A single
+        # batched gather producing [B*S*D, R] puts the tiny selector count
+        # R in the minor dim, and TPU (8, 128) tiling pads a 2-wide
+        # trailing dim x64 — at BlogCatalog scale (B=32, S=1024, D=3424)
+        # that materialized a 57 GB intermediate and OOM'd the AOT compile
+        # (VERDICT r2 #2). A transposed [R, B*S*D] formulation does not
+        # survive either: XLA re-associates it back through the transpose.
+        # Per-row 1-D gathers leave nothing narrow to pad, and XLA fuses
+        # the multiply+reduce into each gather.
+        cols = []
+        for r in range(R):
+            g_r = jnp.take(h[:, :, r].reshape(B * S), flat_j).reshape(B, S, D)
+            cols.append(
+                jnp.einsum(
+                    "bsd,bsd->bs",
+                    w_norm,
+                    g_r,
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            )
+        h = jnp.stack(cols, axis=-1)
         # x_k rows = (Â^k)[sel] @ subg_x  (tuned_SIGN.py:168-185)
         ops.append(
             jnp.einsum(
@@ -537,12 +549,15 @@ def precompute_pos(
     for bucket in np.unique(bucket_of):
         idx_all = order[bucket_of == bucket]
         # Largest per-link transient: the [B, S, F] feature gather, the
-        # [B, S, S] adjacency, or (wide-degree graphs) the [B, S, D] global
-        # neighbor-table gather used by assembly.
+        # [B, S, S] adjacency, the [B, S, D] neighbor-table gathers used by
+        # assembly, or the [R, B, S, D] selector-propagation gather (counted
+        # at its true post-fix footprint; before the layout fix above, its
+        # 2-wide trailing dim also picked up a x64 tiling pad this budget
+        # never saw — VERDICT r2 #2).
         per_link = max(
             int(bucket) * (F + 1),
             int(bucket) * int(bucket),
-            int(bucket) * D_tab,
+            int(bucket) * D_tab * max(2, 2 + eff_ccn),
         )
         bsz_cap = max(8, min(batch_size, ELEM_BUDGET // per_link))
         # round down to a power of two: bounds the number of distinct

@@ -156,20 +156,6 @@ def dense_adjacency(sub: "SubgraphBatch") -> jax.Array:
     )
 
 
-def subgraph_matmul(sub: "SubgraphBatch", h: jax.Array) -> jax.Array:
-    """(A_sub @ h)[b, i, f] = sum_d w[b, i, d] * h[b, nbr_local[b, i, d], f].
-
-    The workhorse op: gather + contraction, no scatter, no dense adjacency.
-    Flattened 1D take (multi-dim fancy indexing lowers to a slow TPU gather).
-    h: [B, S, F] -> [B, S, F].
-    """
-    B, S, D = sub.nbr_local.shape
-    F = h.shape[-1]
-    flat = (jnp.arange(B)[:, None, None] * S + sub.nbr_local).reshape(-1)
-    gathered = jnp.take(h.reshape(B * S, F), flat, axis=0).reshape(B, S, D, F)
-    return jnp.einsum("bsd,bsdf->bsf", sub.nbr_w, gathered)
-
-
 def _bfs_distances(
     dg: DeviceGraph,
     links: jax.Array,

@@ -12,9 +12,12 @@ Labels (dispatch parity with ``construct_pyg_graph``, utils.py:281-316):
              (d//2)*(d//2 + d%2 - 1) with the other target masked out during
              each BFS; unreachable -> 0 (utils.py:211-238)
 - ``de``     distance encoding to [src, dst] on the intact subgraph, capped at
-             max_dist=3, unreachable -> max_dist + 1 (utils.py:241-252)
-- ``de+``    like drnl's masked distances, capped at 100, unreachable -> 101
-             (utils.py:255-278)
+             max_dist=3; unreachable -> max_dist too (utils.py:241-252: scipy
+             returns inf, the ``dist > max_dist`` cap catches it FIRST, and
+             the subsequent isnan -> max_dist+1 branch is dead — we match the
+             executed behavior, not the intended one)
+- ``de+``    like drnl's masked distances, capped at 100; unreachable -> 100
+             for the same dead-isnan reason (utils.py:255-278)
 - ``degree`` column-sum degree capped at 100 (utils.py:303-305)
 
 The masked BFS iterates ``max_iters`` frontier steps; distances beyond that
@@ -111,17 +114,23 @@ def label_nodes(
             z = z.at[b, src].set(1.0)
             z = z.at[b, dst].set(1.0)
             return z * node_mask
-        # de+: capped masked distances, [B, S, 2] (utils.py:274-277)
-        ds = jnp.where(ds >= _INF, 101.0, jnp.minimum(ds, 100.0))
-        dd = jnp.where(dd >= _INF, 101.0, jnp.minimum(dd, 100.0))
+        # de+: capped masked distances, [B, S, 2]. Unreachable -> 100, NOT
+        # 101: scipy's inf hits the reference's `dist > max_dist` cap before
+        # its isnan check ever sees a NaN (utils.py:274-277 — the 101 branch
+        # is dead code there). minimum() maps our _INF sentinel the same way.
+        ds = jnp.minimum(ds, 100.0)
+        dd = jnp.minimum(dd, 100.0)
         return jnp.stack([ds, dd], axis=-1) * node_mask[:, :, None]
 
     if node_label == "de":
         ds = masked_bfs_dist(adj, src, node_mask, forbidden=None, max_iters=max_iters)
         dd = masked_bfs_dist(adj, dst, node_mask, forbidden=None, max_iters=max_iters)
+        # Unreachable -> max_dist (the reference's isnan -> max_dist+1 branch
+        # is dead: scipy inf is caught by the `> max_dist` cap first,
+        # utils.py:250-251).
         max_dist = 3.0
-        ds = jnp.where(ds >= _INF, max_dist + 1.0, jnp.minimum(ds, max_dist))
-        dd = jnp.where(dd >= _INF, max_dist + 1.0, jnp.minimum(dd, max_dist))
+        ds = jnp.minimum(ds, max_dist)
+        dd = jnp.minimum(dd, max_dist)
         return jnp.stack([ds, dd], axis=-1) * node_mask[:, :, None]
 
     raise NotImplementedError(f"node_label {node_label}")

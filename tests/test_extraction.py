@@ -230,12 +230,32 @@ def test_sizing_pass_matches_extraction():
     assert np.array_equal(sizes, np.asarray(sub.sub_size))
 
 
+def _de_plus_oracle_dists(adj_ref, n):
+    """Reference de+ masked distances (utils.py:255-278) for a subgraph with
+    src at 0, dst at 1. Executed-reference semantics: scipy's inf for
+    unreachable nodes is caught by the ``dist > max_dist`` cap (-> 100); the
+    isnan -> 101 branch is dead code (shortest_path never returns NaN)."""
+    from scipy.sparse.csgraph import shortest_path
+
+    def masked_dist(target, deleted, size):
+        idx = [i for i in range(size) if i != deleted]
+        sp = shortest_path(
+            adj_ref[np.ix_(idx, idx)], directed=False, unweighted=True,
+            indices=idx.index(target),
+        )
+        sp = np.insert(sp, deleted, 0, axis=0)
+        # cap FIRST, exactly as the reference executes: inf > 100 -> 100
+        sp = np.minimum(sp, 100.0)
+        assert not np.isnan(sp).any()  # the reference's isnan branch is dead
+        return sp
+
+    return masked_dist(0, 1, n), masked_dist(1, 0, n)
+
+
 def test_de_plus_matches_scipy_masked_shortest_path():
     """de+ differential test vs the reference's masked shortest-path oracle
     (utils.py:255-278: dist-to-src computed with dst deleted and vice versa,
-    dist capped at 100, unreachable -> 101, counterpart position -> 0)."""
-    from scipy.sparse.csgraph import shortest_path
-
+    dist capped at 100 — including unreachable, counterpart position -> 0)."""
     g = random_graph(n=35, p=0.15, seed=9)
     dg = DeviceGraph.from_graph(g)
     A = g.scipy_csr()
@@ -248,21 +268,44 @@ def test_de_plus_matches_scipy_masked_shortest_path():
         nodes_ref, _ = bfs_subgraph_nodes(A, int(s), int(d), 2)
         n = len(nodes_ref)
         adj_ref = induced_subgraph(A, nodes_ref)  # src at 0, dst at 1
-        src, dst = 0, 1
-
-        def masked_dist(target, deleted, size):
-            idx = [i for i in range(size) if i != deleted]
-            sp = shortest_path(
-                adj_ref[np.ix_(idx, idx)], directed=False, unweighted=True,
-                indices=idx.index(target),
-            )
-            sp = np.insert(sp, deleted, 0, axis=0)
-            sp = np.minimum(sp, 100.0)
-            sp[np.isnan(sp) | np.isinf(sp)] = 101.0
-            return sp
-
-        exp_s = masked_dist(src, dst, n)
-        exp_d = masked_dist(dst, src, n)
+        exp_s, exp_d = _de_plus_oracle_dists(adj_ref, n)
         got = z[b, :n]
         assert np.allclose(got[:, 0], exp_s), f"link {b} dist2src"
         assert np.allclose(got[:, 1], exp_d), f"link {b} dist2dst"
+
+
+def test_de_plus_unreachable_after_masking_labels_100():
+    """A node reachable ONLY through the masked counterpart must get the
+    cap value 100 (executed reference behavior — the 101 branch is dead;
+    ADVICE r2). Fixture: pendant chain src(0)–dst(1)–leaf(2), so with dst
+    deleted the leaf is unreachable from src."""
+    ei = to_undirected(np.array([[0, 1, 0], [1, 2, 3]], dtype=np.int32))
+    g = Graph(num_nodes=4, edge_index=ei,
+              x=np.ones((4, 2), dtype=np.float32))
+    dg = DeviceGraph.from_graph(g)
+    links = np.array([[0, 1]], dtype=np.int32)
+    sub = extract_subgraphs(dg, jnp.asarray(links), num_hops=2, max_nodes=8)
+    z = np.asarray(
+        label_nodes(sub.adj, sub.dist, sub.node_mask, node_label="de+")
+    )
+    nodes = np.asarray(sub.nodes[0])
+    n_valid = int(np.asarray(sub.node_mask[0]).sum())
+    # oracle on the induced subgraph
+    A = g.scipy_csr()
+    nodes_ref, _ = bfs_subgraph_nodes(A, 0, 1, 2)
+    adj_ref = induced_subgraph(A, nodes_ref)
+    exp_s, exp_d = _de_plus_oracle_dists(adj_ref, len(nodes_ref))
+    assert np.allclose(z[0, :n_valid, 0], exp_s)
+    assert np.allclose(z[0, :n_valid, 1], exp_d)
+    # the unreachable branch must actually fire: leaf 2 hangs off dst only
+    # and leaf 3 off src only, so each is unreachable from the OTHER endpoint
+    leaf2 = int(np.nonzero(nodes[:n_valid] == 2)[0][0])
+    leaf3 = int(np.nonzero(nodes[:n_valid] == 3)[0][0])
+    assert z[0, leaf2, 0] == 100.0  # dist2src with dst masked: unreachable
+    assert z[0, leaf3, 1] == 100.0  # dist2dst with src masked: unreachable
+    # de label: same dead-isnan semantics at max_dist=3 — with the target
+    # link removed, leaf 2 is unreachable from src entirely
+    z_de = np.asarray(
+        label_nodes(sub.adj, sub.dist, sub.node_mask, node_label="de")
+    )
+    assert z_de[0, leaf2, 0] == 3.0  # capped, NOT max_dist + 1

@@ -87,16 +87,18 @@ def test_fullrow_pos_matches_numpy_oracle(node_label):
             from scipy.sparse.csgraph import shortest_path
 
             if node_label == "de":
-                # intact subgraph distances, capped at 3, unreach -> 4
-                # (utils.py:241-252)
+                # subgraph distances, capped at 3 — incl. unreachable
+                # (utils.py:241-252, dead isnan branch)
                 sp = shortest_path(
                     csr_matrix(sub), directed=False, unweighted=True,
                     indices=[0, 1],
                 ).T
-                z = np.where(np.isfinite(sp), np.minimum(sp, 3.0), 4.0)
+                # unreachable -> cap (the reference's isnan branch is dead:
+                # scipy inf hits the > max_dist cap, utils.py:250-251)
+                z = np.minimum(sp, 3.0)
             else:
-                # masked distances as in drnl, capped 100, unreach -> 101
-                # (utils.py:255-278)
+                # masked distances as in drnl, capped 100 — including
+                # unreachable (dead isnan branch, utils.py:274-277)
                 keep_wo_dst = [i for i in range(n) if i != 1]
                 keep_wo_src = [i for i in range(n) if i != 0]
                 ds_ = shortest_path(
@@ -110,11 +112,7 @@ def test_fullrow_pos_matches_numpy_oracle(node_label):
                 )
                 dd_ = np.insert(dd_, 0, 0)
                 z = np.stack(
-                    [
-                        np.where(np.isfinite(ds_), np.minimum(ds_, 100.0), 101.0),
-                        np.where(np.isfinite(dd_), np.minimum(dd_, 100.0), 101.0),
-                    ],
-                    axis=1,
+                    [np.minimum(ds_, 100.0), np.minimum(dd_, 100.0)], axis=1
                 )
         zx = np.concatenate([z, np.asarray(g.x)[nodes]], axis=1)
         adj_n = sym_normalize_np(sub)

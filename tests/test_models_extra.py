@@ -221,16 +221,19 @@ def test_n2v_pretrain_finite_when_saturated():
     assert emb.std() > 0
 
 
-def test_svgae_vmf_numerics_vs_scipy():
+@pytest.mark.parametrize("m", [9, 17, 65, 129])
+def test_svgae_vmf_numerics_vs_scipy(m):
     """bessel_ratio / log_iv / vmf_kl against scipy.special.ive oracles
-    (the quantities the torch reference gets from s-vae-pytorch's ive)."""
+    (the quantities the torch reference gets from s-vae-pytorch's ive),
+    across the full claimed range: m in 9..129, kappa up to 1000
+    (the bessel_ratio docstring's <=1e-4 relative-error claim; m=65 is the
+    reference latent dim Z_DIM=64 + 1 in vmf mode, svgae.py:155)."""
     from scipy.special import ive, gammaln
 
     from s3grl_tpu.models.svgae import bessel_ratio, log_iv, vmf_kl
 
-    m = 65  # reference latent dim: Z_DIM=64 (+1 in vmf mode, svgae.py:155)
     nu = m / 2.0 - 1.0
-    kappa = np.array([0.5, 1.0, 5.0, 20.0, 80.0, 300.0])
+    kappa = np.array([0.5, 1.0, 5.0, 20.0, 80.0, 300.0, 650.0, 1000.0])
 
     ours_ratio = np.asarray(bessel_ratio(nu + 1.0, jnp.asarray(kappa)))
     ref_ratio = ive(nu + 1.0, kappa) / ive(nu, kappa)
@@ -238,7 +241,11 @@ def test_svgae_vmf_numerics_vs_scipy():
 
     ours_logiv = np.asarray(log_iv(nu, jnp.asarray(kappa)))
     ref_logiv = np.log(ive(nu, kappa)) + kappa
-    np.testing.assert_allclose(ours_logiv, ref_logiv, rtol=0, atol=2e-4)
+    # Olver's expansion (+u1 term) is least accurate at small nu & small
+    # kappa: worst observed ~9.6e-4 abs at m=9, kappa<=1 (m=65 — the
+    # protocol's only m — stays under 2e-4).
+    atol = 2e-4 if m >= 33 else 2e-3
+    np.testing.assert_allclose(ours_logiv, ref_logiv, rtol=0, atol=atol)
 
     # full KL against the exact formula assembled from scipy parts
     ref_kl = (
@@ -247,8 +254,9 @@ def test_svgae_vmf_numerics_vs_scipy():
         + (np.log(2.0) + (m / 2.0) * np.log(np.pi) - gammaln(m / 2.0))
     )
     ours_kl = np.asarray(vmf_kl(jnp.asarray(kappa), m))
-    # dominant error is kappa * ratio_err (<=3e-5 rel) at large kappa
-    np.testing.assert_allclose(ours_kl, ref_kl, rtol=1e-3, atol=1e-3)
+    # dominant error is kappa * ratio_err (<=1e-4 rel) at large kappa:
+    # ~0.05 abs at kappa=1000, up to ~1.6e-3 relative at small m
+    np.testing.assert_allclose(ours_kl, ref_kl, rtol=3e-3, atol=1e-3)
     assert (ours_kl >= -1e-4).all()  # KL is nonnegative
 
 
