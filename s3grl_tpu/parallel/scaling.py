@@ -57,9 +57,21 @@ def _train_rate(mesh, ds, epochs: int, hidden: int, seed: int) -> float:
     model = SIGNNet(hidden_channels=hidden, num_layers=ds.xs.shape[1] - 1,
                     dropout=0.5)
     key = jax.random.PRNGKey(seed)
-    xs0 = jnp.asarray(ds.xs[:batch].reshape(batch, -1, ds.xs.shape[-1]))
-    rm0 = jnp.asarray(np.repeat(ds.row_mask[:batch],
-                                ds.xs.shape[1], axis=1))
+
+    def flat(xb):
+        """[B, O, R, F] -> [B, R, O*F]: the EXACT operator concat the real
+        training step feeds the model (train/loop.py flat()). The previous
+        harness reshaped to [B, O*R, F] and repeated the row mask — a
+        different matmul width than real training (VERDICT r2 weak #5)."""
+        B_, O_, R_, F_ = xb.shape
+        return np.transpose(np.asarray(xb, dtype=np.float32),
+                            (0, 2, 1, 3)).reshape(B_, R_, O_ * F_)
+
+    xs_np = np.asarray(ds.xs)
+    rm_np = np.asarray(ds.row_mask)
+    y_np = np.asarray(ds.y)
+    xs0 = jnp.asarray(flat(xs_np[:batch]))
+    rm0 = jnp.asarray(rm_np[:batch])
     variables = model.init({"params": key, "dropout": key}, xs0, rm0, train=True)
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
@@ -69,48 +81,64 @@ def _train_rate(mesh, ds, epochs: int, hidden: int, seed: int) -> float:
     batch_stats = replicate(mesh, batch_stats)
     opt_state = replicate(mesh, opt_state)
 
-    @jax.jit
-    def train_step(params, batch_stats, opt_state, xs, rm, y, key):
-        def loss_fn(p):
-            out, mut = model.apply(
-                {"params": p, "batch_stats": batch_stats}, xs, rm,
-                train=True, rngs={"dropout": key}, mutable=["batch_stats"],
-            )
-            return bce_with_logits(out, y).mean(), mut["batch_stats"]
-
-        (loss, bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), bs, opt_state, loss
-
     steps = max(L // batch, 1)
-    K = ds.xs.shape[1]
 
-    def batches():
-        for s in range(steps):
-            sl = slice(s * batch, s * batch + batch)
-            xs = ds.xs[sl].reshape(batch, -1, ds.xs.shape[-1])
-            rm = np.repeat(ds.row_mask[sl], K, axis=1)
-            yield (
-                shard_batch(mesh, xs),
-                shard_batch(mesh, rm),
-                shard_batch(mesh, ds.y[sl]),
+    # Pre-shard the whole epoch's data onto the mesh BEFORE the clock
+    # starts, stacked [steps, batch, ...] with the link axis sharded over
+    # 'data' — the old harness ran shard_batch device_puts inside the timed
+    # loop, so "train" measured host->device dispatch, not the train step
+    # (VERDICT r2 weak #4). Real training keeps the dataset device-resident
+    # too (train/loop.py).
+    n_use = steps * batch
+    xs_all = shard_batch(
+        mesh, flat(xs_np[:n_use]).reshape(steps, batch, *xs0.shape[1:]),
+        axis=1,
+    )
+    rm_all = shard_batch(mesh, rm_np[:n_use].reshape(steps, batch, -1), axis=1)
+    y_all = shard_batch(mesh, y_np[:n_use].reshape(steps, batch), axis=1)
+
+    @jax.jit
+    def train_epoch(params, batch_stats, opt_state, xs_all, rm_all, y_all, key):
+        """One epoch = ONE device program (lax.scan over batches), exactly
+        like the real engine (train/loop.py train_epoch) — per-batch host
+        dispatch would otherwise dominate the tiny data-parallel steps."""
+
+        def body(carry, inp):
+            params, batch_stats, opt_state = carry
+            xs, rm, y = inp
+
+            def loss_fn(p):
+                out, mut = model.apply(
+                    {"params": p, "batch_stats": batch_stats}, xs, rm,
+                    train=True, rngs={"dropout": key},
+                    mutable=["batch_stats"],
+                )
+                return bce_with_logits(out, y).mean(), mut["batch_stats"]
+
+            (loss, bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                params
             )
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), bs, opt_state), loss
+
+        (params, batch_stats, opt_state), losses = jax.lax.scan(
+            body, (params, batch_stats, opt_state), (xs_all, rm_all, y_all)
+        )
+        return params, batch_stats, opt_state, losses.sum()
 
     # Warmup (compile)
-    for xs, rm, yb in batches():
-        params, batch_stats, opt_state, loss = train_step(
-            params, batch_stats, opt_state, xs, rm, yb, jax.random.PRNGKey(0)
-        )
-        break
+    params, batch_stats, opt_state, loss = train_epoch(
+        params, batch_stats, opt_state, xs_all, rm_all, y_all,
+        jax.random.PRNGKey(0),
+    )
     loss.block_until_ready()
 
     t0 = time.perf_counter()
     for _ in range(epochs):
-        for xs, rm, yb in batches():
-            params, batch_stats, opt_state, loss = train_step(
-                params, batch_stats, opt_state, xs, rm, yb,
-                jax.random.PRNGKey(1),
-            )
+        params, batch_stats, opt_state, loss = train_epoch(
+            params, batch_stats, opt_state, xs_all, rm_all, y_all,
+            jax.random.PRNGKey(1),
+        )
     loss.block_until_ready()
     dt = time.perf_counter() - t0
     return epochs * steps * batch / dt

@@ -25,8 +25,9 @@ BASELINE_MD = os.path.join(os.path.dirname(__file__), "..", "BASELINE.md")
 START = "<!-- RESULTS_TABLE_START -->"
 END = "<!-- RESULTS_TABLE_END -->"
 HEADER = (
-    "| Experiment | Seeds | Test AUC | Prep (s) | Train/epoch (s) | "
-    "Inf/epoch (s) | Runtime (s) |\n|---|---|---|---|---|---|---|"
+    "| Experiment | Seeds | Test AUC | Prep (s) | Prep warm (s) | "
+    "Train/epoch (s) | Inf/epoch (s) | Runtime (s) |"
+    "\n|---|---|---|---|---|---|---|---|"
 )
 
 
@@ -43,9 +44,11 @@ def collect(results_dir: str) -> dict:
 def row_for(identifier: str, payload: dict) -> str:
     r = payload["results"]
     seeds = payload.get("n_runs", "?")
+    # warm = marginal per-seed prep, first (compile-paying) run excluded
+    warm = r.get("Average Dataset Prep Time (warm)", "—")
     return (
         f"| {identifier} | {seeds} | {r['Average Test AUC']} | "
-        f"{r['Average Dataset Prep Time']} | "
+        f"{r['Average Dataset Prep Time']} | {warm} | "
         f"{r['Average Train time per epoch']} | "
         f"{r['Average Inf time per epoch']} | "
         f"{r['Average Runtime']} |"

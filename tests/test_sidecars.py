@@ -46,7 +46,9 @@ def test_master_controller_results_schema(tiny_suite):
     assert set(out) == {"USAir_PoS", "USAir_AA"}
     res = out["USAir_PoS"]["results"]
     for key in ("Average Runtime", "Average Test AUC",
-                "Average Dataset Prep Time", "Total Model Parameters"):
+                "Average Dataset Prep Time",
+                "Average Dataset Prep Time (warm)",
+                "Total Model Parameters"):
         assert key in res and "±" in res[key] or "±" in res[key]
     assert os.path.exists(results_path)
     # heuristic row reports AUC too
