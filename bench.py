@@ -161,9 +161,13 @@ def kernel_efficiency_report(graph) -> dict:
     return report
 
 
-def blogcatalog_precompute_rate(n_links: int = 4096) -> dict:
-    """Large-graph precompute links/s (BlogCatalog: N=10.3k, E=668k,
-    max degree 3992) through the host-native BFS + device assembly route."""
+def large_graph_precompute_rate(
+    dataset: str, n_links: int = 4096, init: str = ""
+) -> dict:
+    """Large-graph PoS precompute links/s through the host-native BFS +
+    device assembly route (BASELINE.json configs[4]: BlogCatalog N=10.3k
+    E=668k maxdeg 3992; arxiv N=18.8k E=396k maxdeg 504)."""
+    from s3grl_tpu.data.features import init_features
     from s3grl_tpu.data.io import load_dataset
     from s3grl_tpu.data.split import do_edge_split
     from s3grl_tpu.operators.pos import precompute_pos
@@ -171,8 +175,10 @@ def blogcatalog_precompute_rate(n_links: int = 4096) -> dict:
     from s3grl_tpu.utils.seeding import seed_everything
 
     rng, _ = seed_everything(1)
-    full = load_dataset("BlogCatalog")
+    full = load_dataset(dataset)
     graph, edge_split = do_edge_split(full, rng=rng)
+    if graph.x is None or init:
+        graph = init_features(graph, init or "degree")
     dg = DeviceGraph.from_graph(graph)
     links = np.concatenate(
         [edge_split.train_pos[: n_links // 2],
@@ -192,6 +198,8 @@ def blogcatalog_precompute_rate(n_links: int = 4096) -> dict:
     return {
         "links_per_sec": round(len(links) / (time.perf_counter() - t0), 2),
         "n_links": int(len(links)),
+        "n_nodes": int(graph.num_nodes),
+        "n_edges": int(graph.edge_index.shape[1]),
     }
 
 
@@ -329,14 +337,20 @@ def main():
         kernels = {"skipped": f"{type(e).__name__}: {e}"}
     try:
         with _section_alarm(420):
-            blog = blogcatalog_precompute_rate()
+            blog = large_graph_precompute_rate("BlogCatalog")
     except Exception as e:  # dataset missing / large-graph route failure
         blog = {"skipped": f"{type(e).__name__}: {e}"}
+    try:
+        with _section_alarm(300):
+            arxiv = large_graph_precompute_rate("arxiv", init="degree")
+    except Exception as e:
+        arxiv = {"skipped": f"{type(e).__name__}: {e}"}
 
     # Re-print the headline enriched with the optional sections: whichever
     # JSON line the driver picks (first or last), metric/value agree.
     headline["detail"]["kernel_efficiency"] = kernels
     headline["detail"]["blogcatalog_precompute"] = blog
+    headline["detail"]["arxiv_precompute"] = arxiv
     print(json.dumps(headline), flush=True)
 
 
