@@ -233,6 +233,10 @@ class _section_alarm:
 
 
 def main():
+    from s3grl_tpu.utils.warmup import warm_transfer_async
+
+    warm_transfer_async()  # overlap the tunnel's first-D2H stall with prep
+
     from s3grl_tpu.config import RunConfig
     from s3grl_tpu.data.features import init_features
     from s3grl_tpu.data.io import load_dataset

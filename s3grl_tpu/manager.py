@@ -45,6 +45,9 @@ def sgrl_master_controller(
     already present with their full seed count are not rerun — lets one
     long-lived process work through a group of experiments (amortizing the
     remote-TPU pool claim + compile costs) and survive restarts."""
+    from s3grl_tpu.utils.warmup import warm_transfer_async
+
+    warm_transfer_async()  # overlap the tunnel's first-D2H stall with prep
     suite = ExperimentSuite.load(config_path)
     exp_results: dict = {}
     if skip_existing and os.path.exists(results_json):

@@ -144,16 +144,52 @@ def _train_rate(mesh, ds, epochs: int, hidden: int, seed: int) -> float:
     return epochs * steps * batch / dt
 
 
+def matmul_control(mesh, rows_per_device: int = 256, k: int = 1024,
+                   iters: int = 20) -> float:
+    """Rows/s of a ZERO-communication batch-sharded matmul chain — the
+    wall-clock upper bound any data-parallel program can reach on the
+    current platform. On the virtual CPU mesh
+    (xla_force_host_platform_device_count) partitions of one program execute
+    sequentially on a shared stream, so even this control scales at ~1/N;
+    report program efficiencies relative to it, not to the raw ideal."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    n = mesh.shape["data"]
+    B = rows_per_device * n
+    rng = np.random.default_rng(0)
+    x = jax.device_put(
+        rng.random((B, k), dtype=np.float32),
+        NamedSharding(mesh, P("data", None)),
+    )
+    w = jax.device_put(
+        rng.random((k, k), dtype=np.float32), NamedSharding(mesh, P())
+    )
+    f = jax.jit(lambda x, w: jnp.tanh(x @ w) @ w)
+    jax.block_until_ready(f(x, w))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = f(x, w)
+    jax.block_until_ready(out)
+    return B * iters / (time.perf_counter() - t0)
+
+
 def measure(
     n_devices: int,
     links_per_device: int = 512,
     n_nodes: int = 4000,
     avg_degree: int = 12,
-    f: int = 32,
+    f: int = 128,
     sign_k: int = 3,
     epochs: int = 3,
     seed: int = 0,
+    hidden: int = 256,
 ) -> dict:
+    """One weak-scaling row. Defaults mirror the paper protocol's operating
+    point (hidden=256, wide attributed features, sign_k=3, batch 32/device)
+    — a toy-sized model measures collective LATENCY, not scaling: its
+    per-step compute is microseconds, so any fixed per-step sync cost reads
+    as catastrophic inefficiency that real workloads never see."""
     rng = np.random.default_rng(seed)
     mesh = make_mesh(n_data=n_devices, devices=jax.devices()[:n_devices])
     g = _synthetic_graph(rng, n_nodes, avg_degree, f)
@@ -178,7 +214,8 @@ def measure(
     precompute_sop_sharded(mesh, dg, links, y, sign_k=sign_k)
     t_sop = time.perf_counter() - t0
 
-    train_rate = _train_rate(mesh, ds_pos, epochs=epochs, hidden=64, seed=seed)
+    train_rate = _train_rate(mesh, ds_pos, epochs=epochs, hidden=hidden,
+                             seed=seed)
 
     return {
         "devices": n_devices,
@@ -186,6 +223,7 @@ def measure(
         "pos_links_per_sec": round(L / t_pos, 2),
         "sop_links_per_sec": round(L / t_sop, 2),
         "train_links_per_sec": round(train_rate, 2),
+        "matmul_control_rows_per_sec": round(matmul_control(mesh), 2),
     }
 
 
@@ -215,10 +253,18 @@ def main():
         print(json.dumps(r))
     if len(results) > 1:
         base = results[0]
-        eff = {}
+        r_n = results[-1]
+        eff, eff_ctrl = {}, {}
+        # Platform control: per-device efficiency of a zero-communication
+        # batch-sharded matmul at the same device counts — the ceiling the
+        # platform itself allows (virtual CPU devices serialize partitions).
+        ctrl = round(
+            (r_n["matmul_control_rows_per_sec"] / r_n["devices"])
+            / max(base["matmul_control_rows_per_sec"] / base["devices"], 1e-9),
+            3,
+        )
         for key in ("pos_links_per_sec", "sop_links_per_sec",
                     "train_links_per_sec"):
-            r_n = results[-1]
             # Per-device rate at N vs per-device rate at the base count
             # (base need not be 1 device — ADVICE r1).
             eff[key] = round(
@@ -226,9 +272,14 @@ def main():
                 / max(base[key] / base["devices"], 1e-9),
                 3,
             )
-        print(json.dumps({"weak_scaling_efficiency": eff,
-                          "from": base["devices"],
-                          "to": results[-1]["devices"]}))
+            eff_ctrl[key] = round(eff[key] / max(ctrl, 1e-9), 3)
+        print(json.dumps({
+            "weak_scaling_efficiency": eff,
+            "platform_control_efficiency": ctrl,
+            "efficiency_vs_platform_control": eff_ctrl,
+            "from": base["devices"],
+            "to": r_n["devices"],
+        }))
 
 
 if __name__ == "__main__":

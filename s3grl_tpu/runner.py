@@ -179,6 +179,9 @@ def run_sgrl_learning(
     """One seeded end-to-end run. Returns the reference's tuple
     (prep_time, best_test, train_times, inference_times, total_params)."""
     cfg.validate()
+    from s3grl_tpu.utils.warmup import warm_transfer_async
+
+    warm_transfer_async()  # overlap the tunnel's first-D2H stall with prep
     rng, _ = seed_everything(cfg.seed)
 
     # --- per-run results dir + command/log files (reference protocol:
