@@ -419,6 +419,7 @@ def precompute_pos(
     rw_M: int = 0,
     use_pallas: Optional[bool] = None,
     extract_fn=None,
+    out_shardings=None,
 ) -> OperatorDataset:
     """Host driver: bucket links by subgraph size, run the jitted pipeline.
 
@@ -539,8 +540,16 @@ def precompute_pos(
         xs_all = np.zeros((L, sign_k + 1, R_rows, F + 1), dtype=np.float32)
         mask_all = np.zeros((L, R_rows), dtype=bool)
     else:
-        xs_all = jnp.zeros((L, sign_k + 1, R_rows, F + 1), dtype=store_dtype)
-        mask_all = jnp.zeros((L, R_rows), dtype=bool)
+        # ``out_shardings`` (mesh driver, parallel/dist.py) places the
+        # output link-sharded: a replicated buffer forced an all-gather of
+        # every batch's rows onto every device during scatter-assembly —
+        # O(L) cross-device traffic per batch that throttled weak scaling.
+        xs_kw = {"device": out_shardings[0]} if out_shardings else {}
+        m_kw = {"device": out_shardings[1]} if out_shardings else {}
+        xs_all = jnp.zeros(
+            (L, sign_k + 1, R_rows, F + 1), dtype=store_dtype, **xs_kw
+        )
+        mask_all = jnp.zeros((L, R_rows), dtype=bool, **m_kw)
 
     # Links grouped by size bucket; per-bucket batch size bounded so the
     # [B, S, F] feature gather and [B, S, S] adjacency stay within budget.

@@ -190,7 +190,14 @@ def precompute_pos_sharded(
     kwargs = dict(pos_kwargs)
     kwargs["batch_size"] = max(int(kwargs.get("batch_size", 256)), 8 * n)
     return pos_mod.precompute_pos(
-        dg_rep, links, y, extract_fn=sharded_extract, **kwargs
+        dg_rep, links, y, extract_fn=sharded_extract,
+        # Keep the assembled dataset link-sharded too: a replicated output
+        # buffer all-gathers every batch during scatter-assembly.
+        out_shardings=(
+            NamedSharding(mesh, P(axis, None, None, None)),
+            NamedSharding(mesh, P(axis, None)),
+        ),
+        **kwargs,
     )
 
 
