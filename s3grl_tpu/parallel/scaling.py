@@ -203,9 +203,20 @@ def measure(
     # Warmup compiles
     precompute_pos_sharded(mesh, dg, links[: 128 * n_devices],
                            y[: 128 * n_devices], **kw)
+    # Phase breakdown (VERDICT r2 #4): the sizing pass is host-side
+    # (threaded native BFS) and does not scale with devices; time it apart
+    # from the sharded extraction+assembly so the summary can attribute
+    # multi-device loss.
+    from s3grl_tpu.operators.pos import measure_subgraph_sizes
+
     t0 = time.perf_counter()
-    ds_pos = precompute_pos_sharded(mesh, dg, links, y, **kw)
-    t_pos = time.perf_counter() - t0
+    sizes = measure_subgraph_sizes(dg, links, num_hops=kw["num_hops"])
+    t_sizes = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    ds_pos = precompute_pos_sharded(mesh, dg, links, y, size_oracle=sizes,
+                                    **kw)
+    t_extract = time.perf_counter() - t0
+    t_pos = t_sizes + t_extract
 
     # SoP warmup (compile) before timing (ADVICE r1).
     precompute_sop_sharded(mesh, dg, links[: 128 * n_devices],
@@ -221,6 +232,8 @@ def measure(
         "devices": n_devices,
         "links": L,
         "pos_links_per_sec": round(L / t_pos, 2),
+        "pos_sizing_secs": round(t_sizes, 3),
+        "pos_extract_secs": round(t_extract, 3),
         "sop_links_per_sec": round(L / t_sop, 2),
         "train_links_per_sec": round(train_rate, 2),
         "matmul_control_rows_per_sec": round(matmul_control(mesh), 2),
