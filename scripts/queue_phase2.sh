@@ -1,15 +1,26 @@
 #!/bin/bash
-# Phase-2 accuracy queue: remaining non-attributed families, Pubmed,
-# table_2 GNN baselines, Pubmed+GAE init, ScaLed AUC rows.
+# Phase-2 accuracy queue: ONE process for all remaining groups (the tunnel
+# charges a first-fetch stall per process), restarted by a staleness
+# watchdog if it wedges; --skip_existing resume makes restarts cheap.
 set -u
 cd /root/repo
-export STALE_SECS=3000
-scripts/run_baseline_queue.sh \
-  "nonattr_3=Router_PoS,Router_PoS_Plus,Router_SoP,PB_PoS,PB_PoS_Plus,PB_SoP,Ecoli_PoS,Ecoli_PoS_Plus,Ecoli_SoP" \
-  "pubmed=Pubmed_PoS,Pubmed_PoS_Plus,Pubmed_SoP"
-CONFIG=configs/paper/table_2.json scripts/run_baseline_queue.sh \
-  "table2=USAir_SEAL,Celegans_SEAL,Power_SEAL,USAir_GCN_DE,Celegans_GCN_DE,Power_GCN_DE"
-CONFIG=configs/baseline_extra.json scripts/run_baseline_queue.sh \
-  "pubmed_gae=Pubmed_PoS_GAE"
-CONFIG=configs/paper/scaled.json scripts/run_baseline_queue.sh \
-  "scaled=Cora_PoS_ScaLed,Cora_PoS_Plus_ScaLed,CiteSeer_PoS_ScaLed,CiteSeer_PoS_Plus_ScaLed"
+STALE="${STALE_SECS:-3000}"
+LOG=logs/queue_phase2_runs.log
+for ATTEMPT in 1 2 3 4 5 6; do
+  echo "=== phase2 attempt $ATTEMPT $(date +%T) ==="
+  touch "$LOG"
+  timeout 21600 python -u scripts/run_phase2_oneproc.py >> "$LOG" 2>&1 &
+  MPID=$!
+  while kill -0 "$MPID" 2>/dev/null; do
+    sleep 60
+    AGE=$(( $(date +%s) - $(stat -c %Y "$LOG") ))
+    if [ "$AGE" -gt "$STALE" ]; then
+      echo "--- watchdog: phase2 quiet ${AGE}s, restarting (pid $MPID)"
+      kill "$MPID" 2>/dev/null; sleep 5; kill -9 "$MPID" 2>/dev/null
+      break
+    fi
+  done
+  wait "$MPID"; RC=$?
+  echo "--- phase2 attempt $ATTEMPT exit=$RC $(date +%T)"
+  [ "$RC" -eq 0 ] && break
+done
