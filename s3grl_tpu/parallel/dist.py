@@ -178,12 +178,52 @@ def precompute_pos_sharded(
     link_sharding = NamedSharding(mesh, P(axis, None))
     seed_sharding = NamedSharding(mesh, P(axis))
 
-    def sharded_extract(dg_arg, lb, ls, **kw):
+    # shard_map, not sharding propagation: with only input shardings to go
+    # on, XLA's auto-spmd replicated the BFS frontier intermediates of
+    # extract_subgraphs on every device — measured 8.2 s/batch at 8 virtual
+    # devices vs 0.61 s/batch (13.6x) for the identical computation under
+    # shard_map, which pins EVERY per-link intermediate to the link shard.
+    # One wrapper per static-kwarg signature (jit caches by it anyway).
+    _smap_cache: dict = {}
+
+    def _smap_fn(statics: tuple, with_host_nodes: bool):
+        key = (statics, with_host_nodes)
+        if key not in _smap_cache:
+            kw = dict(statics)
+            if with_host_nodes:
+                fn = shard_map(
+                    lambda d, l, s, hn, hm: pos_mod._extract_and_operate(
+                        d, l, s, host_nodes=(hn, hm), **kw
+                    ),
+                    mesh=mesh,
+                    in_specs=(P(), P(axis, None), P(axis), P(axis, None),
+                              P(axis, None)),
+                    out_specs=(P(axis, None, None, None), P(axis, None)),
+                )
+            else:
+                fn = shard_map(
+                    lambda d, l, s: pos_mod._extract_and_operate(d, l, s, **kw),
+                    mesh=mesh,
+                    in_specs=(P(), P(axis, None), P(axis)),
+                    out_specs=(P(axis, None, None, None), P(axis, None)),
+                )
+            _smap_cache[key] = jax.jit(fn)
+        return _smap_cache[key]
+
+    def sharded_extract(dg_arg, lb, ls, host_nodes=None, **kw):
         b = lb.shape[0]
-        if b % n == 0:  # shard when the padded batch divides the mesh
-            lb = jax.device_put(lb, link_sharding)
-            ls = jax.device_put(ls, seed_sharding)
-        return pos_mod._extract_and_operate(dg_arg, lb, ls, **kw)
+        if b % n != 0:  # unshardable remainder batch: single-device path
+            return pos_mod._extract_and_operate(
+                dg_arg, lb, ls, host_nodes=host_nodes, **kw
+            )
+        lb = jax.device_put(lb, link_sharding)
+        ls = jax.device_put(ls, seed_sharding)
+        fn = _smap_fn(tuple(sorted(kw.items())), host_nodes is not None)
+        if host_nodes is not None:
+            hn = jax.device_put(host_nodes[0], link_sharding)
+            hm = jax.device_put(host_nodes[1], link_sharding)
+            return fn(dg_arg, lb, ls, hn, hm)
+        return fn(dg_arg, lb, ls)
 
     # Route the driver through the sharded dispatcher (batch sizes in the
     # driver are powers of two >= 8, so they divide any power-of-two mesh).

@@ -40,7 +40,8 @@ def _synthetic_graph(rng, n_nodes: int, avg_degree: int, f: int) -> Graph:
     )
 
 
-def _train_rate(mesh, ds, epochs: int, hidden: int, seed: int) -> float:
+def _train_rate(mesh, ds, epochs: int, hidden: int, seed: int,
+                batch_per_device: int = 32) -> float:
     """Links/s through sharded SIGNNet training on an OperatorDataset."""
     import jax.numpy as jnp
     import optax
@@ -50,10 +51,14 @@ def _train_rate(mesh, ds, epochs: int, hidden: int, seed: int) -> float:
 
     n_data = mesh.shape["data"]
     L = len(ds.y)
-    # Weak scaling: per-device batch HELD CONSTANT (32/device) so the
-    # per-device step workload is identical at every device count
-    # (ADVICE r1: a shrinking per-device batch biased efficiency).
-    batch = 32 * n_data
+    # Weak scaling: per-device batch HELD CONSTANT (default 32/device, the
+    # paper protocol) so the per-device step workload is identical at every
+    # device count (ADVICE r1: a shrinking per-device batch biased
+    # efficiency). A second operating point (128/device) isolates per-step
+    # fixed costs: on the virtual CPU mesh every scan step pays a
+    # partition-dispatch + grad-psum overhead that dwarfs the ~1.6 ms of
+    # real compute in a 32-link step.
+    batch = batch_per_device * n_data
     model = SIGNNet(hidden_channels=hidden, num_layers=ds.xs.shape[1] - 1,
                     dropout=0.5)
     key = jax.random.PRNGKey(seed)
@@ -215,6 +220,7 @@ def measure(
     t0 = time.perf_counter()
     ds_pos = precompute_pos_sharded(mesh, dg, links, y, size_oracle=sizes,
                                     **kw)
+    jax.block_until_ready(ds_pos.xs)  # time completion, not dispatch
     t_extract = time.perf_counter() - t0
     t_pos = t_sizes + t_extract
 
@@ -227,6 +233,9 @@ def measure(
 
     train_rate = _train_rate(mesh, ds_pos, epochs=epochs, hidden=hidden,
                              seed=seed)
+    train_rate_b128 = _train_rate(mesh, ds_pos, epochs=4 * epochs,
+                                  hidden=hidden, seed=seed,
+                                  batch_per_device=128)
 
     return {
         "devices": n_devices,
@@ -236,6 +245,7 @@ def measure(
         "pos_extract_secs": round(t_extract, 3),
         "sop_links_per_sec": round(L / t_sop, 2),
         "train_links_per_sec": round(train_rate, 2),
+        "train_b128_links_per_sec": round(train_rate_b128, 2),
         "matmul_control_rows_per_sec": round(matmul_control(mesh), 2),
     }
 
@@ -277,7 +287,7 @@ def main():
             3,
         )
         for key in ("pos_links_per_sec", "sop_links_per_sec",
-                    "train_links_per_sec"):
+                    "train_links_per_sec", "train_b128_links_per_sec"):
             # Per-device rate at N vs per-device rate at the base count
             # (base need not be 1 device — ADVICE r1).
             eff[key] = round(
