@@ -85,21 +85,65 @@ _PEAK_F32_FLOPS = _PEAK_BF16_FLOPS / 4
 _PEAK_HBM_BPS = float(__import__("os").environ.get("TPU_PEAK_HBM_BPS", 819e9))
 
 
-def _time_op(fn, *args, iters=20):
+def _sync(*arrays):
+    """Force REAL completion of device computations.
+
+    On the axon remote-TPU platform ``jax.block_until_ready`` returns as
+    soon as the work is *enqueued* (measured: 50 chained 4096^3 matmuls
+    "complete" in 13 us/iter under block_until_ready vs 2.4 s/iter with a
+    readback). Fetching one element is the only reliable barrier; it costs
+    one ~30 ms tunnel round-trip.
+    """
     import jax
 
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+    for a in arrays:
+        if hasattr(a, "ravel"):
+            jax.device_get(a.ravel()[:1])
+
+
+def _time_op(step, operands=(), iters=(2, 10)):
+    """Marginal per-iteration time of ``step(y, *operands) -> y``, robust to
+    the remote tunnel's ~30 ms dispatch+readback floor and its async
+    block_until_ready: run the op CHAINED inside one jit program ending in
+    a scalar readback, at two iteration counts, and report the marginal
+    time per added iteration. ``operands`` are passed as jit ARGUMENTS —
+    closure-capturing a large array bakes it into the HLO as a literal,
+    which the remote-compile tunnel rejects (HTTP 413) past ~100 MB."""
+    import jax
+    import jax.numpy as jnp
+
+    def run(k):
+        @jax.jit
+        def prog(*ops):
+            def body(i, y):
+                return step(y, *ops)
+
+            return jnp.sum(
+                jax.lax.fori_loop(0, k, body, step(None, *ops))
+                .astype(jnp.float32)[..., :1].ravel()[:1]
+            )
+
+        float(prog(*operands))  # compile + warm
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(prog(*operands))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t_small, t_big = run(iters[0]), run(iters[1])
+    return max((t_big - t_small) / (iters[1] - iters[0]), 1e-9)
 
 
 def kernel_efficiency_report(graph) -> dict:
     """Achieved GFLOP/s + HBM GB/s for the two Pallas kernels vs their
-    cost_estimates and chip peaks (VERDICT r1 item 5). TPU only."""
+    cost_estimates and chip peaks (VERDICT r1 item 5). TPU only.
+
+    Timing is the _time_op marginal in-jit chained protocol: the remote
+    tunnel's block_until_ready is async and its dispatch floor is ~30 ms,
+    so one-shot wall timing measures the tunnel, not the kernel (the round-2
+    numbers did exactly that — VERDICT r2 #3's compile-noise cousin).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -110,47 +154,71 @@ def kernel_efficiency_report(graph) -> dict:
     # --- fused PoS power kernel: realistic post-extraction shapes ---
     from s3grl_tpu.ops.pos_pallas import _round_up, pos_power_rows
 
-    B, S, D, F, R, K = 64, 256, 128, 17, 2, 3
     rng = np.random.default_rng(0)
-    nbr = jnp.asarray(rng.integers(0, S, (B, S, D)), dtype=jnp.int32)
-    w = jnp.asarray((rng.random((B, S, D)) < 0.1).astype(np.float32))
-    x = jnp.asarray(rng.normal(size=(B, S, F)).astype(np.float32))
-    sel = jnp.zeros((B, R), dtype=jnp.int32)
-    fn = jax.jit(lambda s_, n_, w_, x_: pos_power_rows(s_, n_, w_, x_, sign_k=K))
-    dt = _time_op(fn, sel, nbr, w, x)
-    f_pad = _round_up(F, 128)
-    flops = 2 * B * (K * S * S * f_pad + D * S * S)
-    bytes_ = B * (2 * S * D + S * f_pad) * 4
-    report["pos_pallas"] = {
-        "shape": {"B": B, "S": S, "D": D, "F": F, "sign_k": K},
-        "wall_us": round(dt * 1e6, 1),
-        "achieved_gflops": round(flops / dt / 1e9, 1),
-        "achieved_hbm_gbps": round(bytes_ / dt / 1e9, 1),
-        "mxu_f32_utilization": round(flops / dt / _PEAK_F32_FLOPS, 3),
-        "hbm_utilization": round(bytes_ / dt / _PEAK_HBM_BPS, 3),
-    }
+    for tag, (B, S, D, F, R, K) in {
+        "pos_pallas": (64, 256, 128, 17, 2, 3),
+        # the BlogCatalog/arxiv large-graph bucket: global neighbor table
+        "pos_pallas_large": (16, 1024, 3424, 40, 2, 3),
+    }.items():
+        nbr = jnp.asarray(rng.integers(0, S, (B, S, D)), dtype=jnp.int32)
+        w = jnp.asarray((rng.random((B, S, D)) < 0.1).astype(np.float32))
+        x0 = jnp.asarray(rng.normal(size=(B, S, F)).astype(np.float32))
+        sel = jnp.zeros((B, R), dtype=jnp.int32)
 
-    # --- BSR SpMM on the real global adjacency (SoP substrate) ---
+        def step(x, x0, sel, nbr, w, K=K):
+            x = x0 if x is None else x
+            out = pos_power_rows(sel, nbr, w, x, sign_k=K)
+            return x + 1e-30 * jnp.sum(out)
+
+        dt = _time_op(step, (x0, sel, nbr, w))
+        f_pad = _round_up(F, 128)
+        flops = 2 * B * (K * S * S * f_pad + D * S * S)
+        bytes_ = B * (2 * S * D + S * f_pad) * 4
+        report[tag] = {
+            "shape": {"B": B, "S": S, "D": D, "F": F, "sign_k": K},
+            "wall_us": round(dt * 1e6, 1),
+            "achieved_gflops": round(flops / dt / 1e9, 1),
+            "achieved_hbm_gbps": round(bytes_ / dt / 1e9, 1),
+            "mxu_f32_utilization": round(flops / dt / _PEAK_F32_FLOPS, 3),
+            "hbm_utilization": round(bytes_ / dt / _PEAK_HBM_BPS, 3),
+        }
+
+    # --- BSR SpMM at production SoP scale ---
+    # The headline graph (USAir, 9 blocks) is dispatch-dominated; measure on
+    # the largest bundled graph (BlogCatalog, ~6.5k blocks) with the
+    # sym-normalized weights the SoP chain actually uses.
     from s3grl_tpu.ops.spmm_pallas import blockify, bsr_spmm
 
+    try:
+        from s3grl_tpu.data.io import load_dataset
+
+        big = load_dataset("BlogCatalog")
+    except Exception:
+        big = graph
     F2 = 256
-    w_e = (
-        graph.edge_weight.astype(np.float32)
-        if graph.edge_weight is not None
-        else np.ones(graph.num_edges, dtype=np.float32)
-    )
-    bsr = blockify(
-        graph.edge_index[0], graph.edge_index[1], w_e, graph.num_nodes
-    )
-    x2 = jnp.asarray(rng.normal(size=(graph.num_nodes, F2)).astype(np.float32))
-    fn2 = jax.jit(lambda xv: bsr_spmm(bsr, xv))
-    dt2 = _time_op(fn2, x2)
+    src, dst = big.edge_index[0], big.edge_index[1]
+    deg = np.zeros(big.num_nodes, np.float32)
+    np.add.at(deg, dst, 1.0)
+    dinv = np.where(deg > 0, 1.0 / np.sqrt(np.maximum(deg, 1e-30)), 0.0)
+    w_e = (dinv[src] * dinv[dst]).astype(np.float32)
+    bsr = blockify(src, dst, w_e, big.num_nodes)
+    x2 = jnp.asarray(rng.normal(size=(big.num_nodes, F2)).astype(np.float32))
+
+    def step2(y, bsr, x2):
+        return bsr_spmm(bsr, x2 if y is None else y)
+
+    dt2 = _time_op(step2, (bsr, x2))
     bs = int(bsr.blocks.shape[1])
     nb = bsr.num_blocks
+    n_rb = bsr.num_row_blocks
     flops2 = 2 * nb * bs * bs * F2
-    bytes2 = (nb * bs * bs + 2 * graph.num_nodes * F2) * 4
+    # Traffic: every nonzero block streamed once, one X col-block fetched
+    # per nonzero block, each output row-block written ONCE (consecutive
+    # same-row blocks accumulate in VMEM — counting a refetch per block
+    # put "achieved" bandwidth above the chip peak).
+    bytes2 = (nb * bs * bs + nb * bs * F2 + n_rb * bs * F2) * 4
     report["bsr_spmm"] = {
-        "shape": {"N": int(graph.num_nodes), "nnz_blocks": int(nb),
+        "shape": {"N": int(big.num_nodes), "nnz_blocks": int(nb),
                   "block": int(bs), "F": F2},
         "wall_us": round(dt2 * 1e6, 1),
         "achieved_gflops": round(flops2 / dt2 / 1e9, 1),
@@ -189,12 +257,11 @@ def large_graph_precompute_rate(
     ).astype(np.float32)
     kw = dict(num_hops=2, sign_k=3, batch_size=32, seed=1)
     warm = min(512, len(links))
-    precompute_pos(dg, links[:warm], y[:warm], **kw)
+    ds_w = precompute_pos(dg, links[:warm], y[:warm], **kw)
+    _sync(ds_w.xs)  # warm EXECUTION must finish before the clock starts
     t0 = time.perf_counter()
     ds = precompute_pos(dg, links, y, **kw)
-    import jax
-
-    jax.block_until_ready(ds.xs)
+    _sync(ds.xs)
     return {
         "links_per_sec": round(len(links) / (time.perf_counter() - t0), 2),
         "n_links": int(len(links)),
@@ -284,13 +351,12 @@ def main():
     # hit (steady-state measurement; the reference equally amortizes one-off
     # costs through its processed-dataset caching)
     for links_w, y_w in splits.values():
-        precompute_pos(dg, links_w, y_w, **kw)
+        ds_w = precompute_pos(dg, links_w, y_w, **kw)
+    _sync(ds_w.xs)  # warm EXECUTION must finish before the clock starts
 
     t0 = time.perf_counter()
     ds = {s: precompute_pos(dg, l, y, **kw) for s, (l, y) in splits.items()}
-    import jax
-
-    jax.block_until_ready(ds["train"].xs)
+    _sync(*(d.xs for d in ds.values()))
     t_precompute = time.perf_counter() - t0
 
     # Warm the training path too (compile train/predict programs once —
@@ -335,7 +401,9 @@ def main():
     print(json.dumps(headline), flush=True)
 
     try:
-        with _section_alarm(240):
+        # 480 s: the chained-timing protocol compiles two programs per
+        # kernel (small/large iteration counts) over the remote tunnel.
+        with _section_alarm(480):
             kernels = kernel_efficiency_report(graph)
     except Exception as e:
         kernels = {"skipped": f"{type(e).__name__}: {e}"}

@@ -59,6 +59,23 @@ class BlockedAdjacency:
         return int(self.blocks.shape[0])
 
 
+# Pytree registration: lets BlockedAdjacency cross jit boundaries as an
+# ARGUMENT. Closure-capturing it instead bakes the [NB, BS, BS] blocks into
+# the HLO as a literal — at BlogCatalog scale that is a 430 MB constant,
+# which the remote-compile tunnel rejects outright (HTTP 413).
+jax.tree_util.register_pytree_node(
+    BlockedAdjacency,
+    lambda a: (
+        (a.blocks, a.block_rows, a.block_cols),
+        (a.num_nodes, a.num_row_blocks),
+    ),
+    lambda aux, ch: BlockedAdjacency(
+        blocks=ch[0], block_rows=ch[1], block_cols=ch[2],
+        num_nodes=aux[0], num_row_blocks=aux[1],
+    ),
+)
+
+
 def blockify(
     edge_src: np.ndarray,
     edge_dst: np.ndarray,
@@ -222,7 +239,11 @@ def _bsr_spmm_padded(
         out_shape=jax.ShapeDtypeStruct((num_row_blocks * bs, c_pad), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * nb * bs * bs * c_pad,
-            bytes_accessed=(nb * bs * bs + 2 * nb * bs * c_pad) * 4,
+            # blocks once + one X col-block per nonzero block + each output
+            # row-block written once (same-row blocks accumulate in VMEM)
+            bytes_accessed=(
+                nb * bs * bs + nb * bs * c_pad + num_row_blocks * bs * c_pad
+            ) * 4,
             transcendentals=0,
         ),
         interpret=interpret,

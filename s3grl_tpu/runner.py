@@ -287,6 +287,15 @@ def run_sgrl_learning(
         datasets[split] = precompute_split(dg, links, y, cfg)
         if cache_path:
             datasets[split].save(cache_path)
+    # Real completion barrier before stopping the prep clock: on the axon
+    # remote platform block_until_ready returns at ENQUEUE, so without a
+    # one-element readback the deferred device work would be billed to the
+    # first training epoch instead of prep.
+    import jax as _jax
+
+    for _ds in datasets.values():
+        if not isinstance(_ds.xs, np.ndarray):
+            _jax.device_get(_ds.xs.ravel()[:1])
     total_prep_time = time.perf_counter() - t_prep0
 
     num_layers = cfg.sign_k
