@@ -65,6 +65,7 @@ def sgrl_master_controller(
         runs.append((dataset, seed, cfg))
 
     for identifier, runs in by_identifier.items():
+        done = 0
         if skip_existing and identifier in exp_results:
             done = exp_results[identifier].get("n_runs", 0)
             if done >= len(runs):
@@ -73,8 +74,26 @@ def sgrl_master_controller(
         best_test_scores, prep_times, total_run_times = [], [], []
         all_train_times, all_inference_times, total_params_arr = [], [], []
         ds_config = suite.experiments[identifier]
+        if done:
+            # Seed-granular resume: restore the per-run raw series the
+            # previous process flushed and continue at seed done+1 instead
+            # of redoing the whole experiment (a watchdog restart used to
+            # lose up to seeds-1 finished runs).
+            raw = exp_results[identifier].get("raw")
+            if raw:
+                best_test_scores = list(raw["best_test_scores"])[:done]
+                prep_times = list(raw["prep_times"])[:done]
+                total_run_times = list(raw["total_run_times"])[:done]
+                all_train_times = list(raw["train_times"])
+                all_inference_times = list(raw["inference_times"])
+                total_params_arr = list(raw["total_params"])[:done]
+                print(f"resume {identifier} at run {done + 1}")
+            else:  # old-format entry without raw series: restart it
+                done = 0
 
         for run_no, (dataset, seed, cfg) in enumerate(runs, start=1):
+            if run_no <= done:
+                continue
             print(f"Run {run_no} of {dataset} with id {identifier}")
             seed_everything(cfg.seed)
             start = time.perf_counter()
@@ -120,6 +139,16 @@ def sgrl_master_controller(
                 # seeded runs actually contributed, for BASELINE.md's seeds
                 # column.
                 "n_runs": run_no,
+                # Raw per-run series so a restarted process can resume at
+                # the next seed with exact aggregate continuity.
+                "raw": {
+                    "best_test_scores": best_test_scores,
+                    "prep_times": prep_times,
+                    "total_run_times": total_run_times,
+                    "train_times": all_train_times,
+                    "inference_times": all_inference_times,
+                    "total_params": total_params_arr,
+                },
             }
             tmp = results_json + ".tmp"
             with open(tmp, "w") as f:

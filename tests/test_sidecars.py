@@ -263,3 +263,51 @@ def test_master_controller_flushes_after_each_run(tmp_path, monkeypatch):
     assert res["Fake_PoS"]["n_runs"] == 3
     with open(out_path) as f:
         assert json.load(f)["Fake_PoS"]["n_runs"] == 3
+
+
+def test_master_controller_seed_granular_resume(tmp_path, monkeypatch):
+    """skip_existing resumes a partially-done experiment at the NEXT seed,
+    restoring the flushed raw per-run series (a watchdog restart used to
+    redo the whole experiment from seed 1)."""
+    import s3grl_tpu.manager as mgr
+
+    suite = {
+        "datasets": {
+            "Fake_PoS": {
+                "ds_params": {"runs": 3, "seeds": [1, 2, 3], "dataset": "USAir"},
+                "hyperparams_per_run": {"model": "SIGN", "sign_type": "PoS",
+                                        "optimize_sign": True},
+            }
+        }
+    }
+    cfg_path = tmp_path / "suite.json"
+    cfg_path.write_text(json.dumps(suite))
+    out_path = str(tmp_path / "out.json")
+
+    calls = []
+
+    def fake_run(cfg):
+        calls.append(cfg.seed)
+        if len(calls) == 2:  # die mid-experiment after seed 2's flush...
+            raise KeyboardInterrupt
+        return 1.0, 0.90 + 0.01 * cfg.seed, [0.1], [0.05], 123
+
+    monkeypatch.setattr(mgr, "run_sgrl_learning", fake_run)
+    try:
+        mgr.sgrl_master_controller(str(cfg_path), out_path)
+    except KeyboardInterrupt:
+        pass
+    assert calls == [1, 2]
+    with open(out_path) as f:
+        assert json.load(f)["Fake_PoS"]["n_runs"] == 1  # seed 2 died pre-flush
+
+    def fake_run2(cfg):
+        calls.append(cfg.seed)
+        return 1.0, 0.90 + 0.01 * cfg.seed, [0.1], [0.05], 123
+
+    monkeypatch.setattr(mgr, "run_sgrl_learning", fake_run2)
+    res = mgr.sgrl_master_controller(str(cfg_path), out_path, skip_existing=True)
+    assert calls == [1, 2, 2, 3]  # resumed at seed 2, not seed 1
+    assert res["Fake_PoS"]["n_runs"] == 3
+    # aggregate continuity: mean over all three seeds' scores
+    assert res["Fake_PoS"]["results"]["Average Test AUC"].startswith("0.92")
