@@ -22,6 +22,8 @@ GROUPS = [
     (AUC, "results/paper/attr_main.json",
      "Cora_PoS,Cora_PoS_Plus,Cora_SoP,CiteSeer_PoS,CiteSeer_PoS_Plus,"
      "CiteSeer_SoP"),
+    ("configs/baseline_extra.json", "results/paper/pubmed_gae.json",
+     "Pubmed_PoS_GAE"),
     (AUC, "results/paper/nonattr_fill.json",
      "NS_PoS,NS_PoS_Plus,Power_PoS,Power_SoP,Celegans_PoS,"
      "Celegans_PoS_Plus"),
@@ -34,8 +36,6 @@ GROUPS = [
      "Yeast_PoS_Plus,Yeast_SoP,Router_PoS,Router_PoS_Plus,Router_SoP"),
     (AUC, "results/paper/pubmed.json",
      "Pubmed_PoS,Pubmed_PoS_Plus,Pubmed_SoP"),
-    ("configs/baseline_extra.json", "results/paper/pubmed_gae.json",
-     "Pubmed_PoS_GAE"),
     (AUC, "results/paper/pb_ecoli.json",
      "PB_PoS,PB_PoS_Plus,PB_SoP,Ecoli_PoS,Ecoli_PoS_Plus,Ecoli_SoP"),
     ("configs/paper/scaled.json", "results/scaled/scaled.json",
