@@ -43,7 +43,7 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _kernel(sel_ref, row_ids_ref, nbr_t_ref, w_t_ref, x_ref, out_ref,
-            A, Y, Y2, *, sign_k, R):
+            A, Y, Y2, *, sign_k, R, select_mode):
     i = pl.program_id(0)
     S = A.shape[0]
     D = nbr_t_ref.shape[1]  # padded to a multiple of _D_CHUNK
@@ -83,6 +83,37 @@ def _kernel(sel_ref, row_ids_ref, nbr_t_ref, w_t_ref, x_ref, out_ref,
     )
     A[:] = A[:] * dinv_sub * dinv_lane
 
+    if select_mode:
+        # Selected-row chain: carry the selector H [R_pad, S] instead of the
+        # full Y [S, f_pad]. H_k = H_{k-1} @ A gives the selected ROWS of
+        # A^k (left-multiplication by one-hot rows), and H_k @ X the
+        # operator outputs — per power O(R_pad*S^2 + R_pad*S*F) instead of
+        # O(S^2*F). For wide attributed features (Cora F=1433, CiteSeer
+        # F=3703 -> f_pad 1536/3840) that is a 5-6x kernel-FLOP cut; for
+        # f_pad = 128 the full chain is cheaper (R pads to >= one MXU tile).
+        R_pad = Y.shape[0]
+        rows = []
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
+        for r in range(R_pad):
+            s_r = sel_ref[i * R + r] if r < R else -1
+            rows.append((lane == s_r).astype(jnp.float32))
+        Y[:] = jnp.concatenate(rows, axis=0)  # [R_pad, S] one-hot
+        for k in range(sign_k + 1):
+            if k > 0:
+                Y[:] = jnp.dot(
+                    Y[:], A[:],
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+            Y2[:] = jnp.dot(
+                Y[:], x_ref[0],
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            for r in range(R):
+                out_ref[0, k, r, :] = Y2[pl.ds(r, 1), :][0]
+        return
+
     Y[:] = x_ref[0]
     for k in range(sign_k + 1):
         if k > 0:
@@ -99,7 +130,9 @@ def _kernel(sel_ref, row_ids_ref, nbr_t_ref, w_t_ref, x_ref, out_ref,
             out_ref[0, k, r, :] = Y[pl.ds(row, 1), :][0]
 
 
-@functools.partial(jax.jit, static_argnames=("sign_k", "interpret"))
+@functools.partial(
+    jax.jit, static_argnames=("sign_k", "interpret", "select_rows")
+)
 def pos_power_rows(
     sel_idx: jax.Array,  # [B, R] int32 selected local rows
     nbr_local: jax.Array,  # [B, S, D] int32 (local slots OR global ids)
@@ -109,12 +142,18 @@ def pos_power_rows(
     sign_k: int,
     row_ids: Optional[jax.Array] = None,  # [B, S] id of each row; iota if None
     interpret: Optional[bool] = None,
+    select_rows: Optional[bool] = None,
 ) -> jax.Array:
     """[B, K+1, R, F]: op 0 = subg_x rows, op k = (Â_sub^k subg_x) rows.
 
     With ``row_ids`` given, ``nbr_local`` may hold *global* neighbor ids and
     ``row_ids[b, j]`` the global id of slot j — the kernel resolves the
     membership while densifying (no host-side global->local remap).
+
+    ``select_rows=None`` auto-picks the selected-row chain (propagate the
+    R-row selector instead of the full [S, F] feature block) whenever the
+    padded feature width exceeds one MXU tile — the cheaper formulation for
+    wide attributed features.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -122,6 +161,9 @@ def pos_power_rows(
     F = subg_x.shape[2]
     R = sel_idx.shape[1]
     f_pad = _round_up(F, 128)
+    if select_rows is None:
+        select_rows = f_pad > 128
+    r_pad = _round_up(R, 8)
     if f_pad != F:
         subg_x = jnp.pad(subg_x, ((0, 0), (0, 0), (0, f_pad - F)))
     d_pad = _round_up(D, _D_CHUNK)
@@ -155,19 +197,28 @@ def pos_power_rows(
         ),
         scratch_shapes=[
             pltpu.VMEM((S, S), jnp.float32),
-            pltpu.VMEM((S, f_pad), jnp.float32),
-            pltpu.VMEM((S, f_pad), jnp.float32),
+            pltpu.VMEM((r_pad, S) if select_rows else (S, f_pad), jnp.float32),
+            pltpu.VMEM(
+                (r_pad, f_pad) if select_rows else (S, f_pad), jnp.float32
+            ),
         ],
     )
+    mm_flops = (
+        (sign_k * (r_pad * S * S) + (sign_k + 1) * r_pad * S * f_pad)
+        if select_rows
+        else sign_k * S * S * f_pad
+    )
     out = pl.pallas_call(
-        functools.partial(_kernel, sign_k=sign_k, R=R),
+        functools.partial(
+            _kernel, sign_k=sign_k, R=R, select_mode=bool(select_rows)
+        ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, sign_k + 1, R, f_pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * (sign_k * S * S * f_pad + D * S * S),
+            flops=2 * B * (mm_flops + D * S * S),
             bytes_accessed=B * (2 * S * D + S * f_pad) * 4,
             transcendentals=0,
         ),
