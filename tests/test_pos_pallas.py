@@ -81,3 +81,15 @@ def test_select_rows_mode_matches_full_chain():
                                rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(auto), np.asarray(selm),
                                rtol=0, atol=0)
+
+
+def test_vmem_ok_admits_large_graph_buckets():
+    """Dispatch policy: the BlogCatalog-scale bucket (S=1024, D=3424) must
+    take the fused kernel (~63 MB true double-buffered footprint vs the
+    kernel's 100 MB limit); genuinely over-budget shapes must not."""
+    from s3grl_tpu.ops.pos_pallas import vmem_ok
+
+    assert vmem_ok(1024, 3424, 40)      # BlogCatalog PoS bucket
+    assert vmem_ok(1024, 448, 1025)     # arxiv bucket (wide features)
+    assert vmem_ok(512, 160, 1434)      # Cora attributed bucket
+    assert not vmem_ok(2048, 8192, 128)  # blows VMEM: ~290 MB streamed
