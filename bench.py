@@ -262,8 +262,23 @@ def large_graph_precompute_rate(
     t0 = time.perf_counter()
     ds = precompute_pos(dg, links, y, **kw)
     _sync(ds.xs)
+    pos_rate = round(len(links) / (time.perf_counter() - t0), 2)
+
+    # SoP on the same links: the natural large-graph model (BASELINE.json
+    # configs[4] "BlogCatalog + arxiv large-graph PoS/SoP") — one global
+    # BSR-SpMM chain amortized over every link, then per-link row assembly.
+    from s3grl_tpu.operators.sop import precompute_sop
+
+    ds_sw = precompute_sop(dg, links[:warm], y[:warm], sign_k=3)
+    _sync(ds_sw.xs)
+    t0 = time.perf_counter()
+    ds_s = precompute_sop(dg, links, y, sign_k=3)
+    _sync(ds_s.xs)
+    sop_rate = round(len(links) / (time.perf_counter() - t0), 2)
+
     return {
-        "links_per_sec": round(len(links) / (time.perf_counter() - t0), 2),
+        "links_per_sec": pos_rate,
+        "sop_links_per_sec": sop_rate,
         "n_links": int(len(links)),
         "n_nodes": int(graph.num_nodes),
         "n_edges": int(graph.edge_index.shape[1]),

@@ -150,8 +150,20 @@ def precompute_sop(
         )
 
     if batch_size <= 0:
-        # [2B, N] propagation state is the memory driver; budget ~192 MB.
-        batch_size = max(16, min(4096, 24_000_000 // max(N, 1)))
+        # Two memory drivers scale with the batch: the [2B, N] propagation
+        # state AND the [E, 2B] edge-message intermediate XLA materializes
+        # inside each SpMM (mul + scatter-add both hold one — at BlogCatalog
+        # scale E=568k an unbounded batch compiled two 10 GB temps and
+        # OOM'd HBM). Budget ~192 MB state / ~2x384 MB edge messages.
+        E_edges = int(dg.edge_src.shape[0])
+        batch_size = max(
+            16,
+            min(
+                4096,
+                24_000_000 // max(N, 1),
+                48_000_000 // max(E_edges, 1),
+            ),
+        )
 
     # Device-resident assembly; batches kept at FULL padded size (distinct
     # remainder-slice shapes would each trigger a fresh remote XLA compile),

@@ -296,7 +296,13 @@ def precompute_sop_sharded(
     xg = jax.device_put(x_global, rep)
     link_sharding = NamedSharding(mesh, P(axis, None))
 
-    batch = max(16, min(4096, 24_000_000 // max(N, 1)))
+    # Same two batch-memory drivers as operators/sop.py: the [2B, N] state
+    # and the [E, 2B] edge-message intermediate inside each SpMM.
+    E_edges = int(dg.edge_src.shape[0])
+    batch = max(
+        16,
+        min(4096, 24_000_000 // max(N, 1), 48_000_000 // max(E_edges, 1)),
+    )
     batch = max(batch // n, 8) * n  # divisible by the mesh
     xs_out = np.empty((L, sign_k + 1, 2, F + 1), dtype=np.float32)
     for start in range(0, L, batch):
