@@ -30,6 +30,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from s3grl_tpu.operators.common import OperatorDataset
+
+# Process-level monotone cache of the padded CCN width per (dataset
+# num_nodes, CCN strategy, cap) — see the sticky-width comment in
+# precompute_pos. Only ever grows; growing only pads masked rows.
+_EFF_CCN_STICKY: dict = {}
 from s3grl_tpu.sampling.extraction import (
     DeviceGraph,
     SubgraphBatch,
@@ -449,14 +454,24 @@ def precompute_pos(
         else 0
     )
     if eff_ccn:
-        # Round the CCN row count up to a multiple of 8 (capped): eff_ccn is
+        # Round the CCN row count up to a power of two (capped): eff_ccn is
         # a STATIC shape parameter of every jitted bucket program, and the
         # measured width wobbles per (split, seed) — each distinct value
-        # forced a full recompile of every bucket (~16 s each over the
+        # forced a full recompile of every bucket (60-90 s each over the
         # remote-compile tunnel, measured to dominate prep). Rounding up only
         # pads masked rows — never truncates — and collapses the signature
-        # space to {8, 16, ...} so programs are shared across splits/seeds.
-        eff_ccn = min(max_ccn, (eff_ccn + 7) // 8 * 8) if max_ccn >= 8 else max_ccn
+        # space to {8, 16, 32, ...}. On top of that the width is MONOTONE
+        # STICKY per (dataset, strategy, cap) within the process: later
+        # splits and seeds reuse the largest width seen so far instead of
+        # minting a smaller (new!) signature that recompiles everything.
+        if max_ccn >= 8:
+            r = 8
+            while r < eff_ccn:
+                r *= 2
+            eff_ccn = min(max_ccn, r)
+        key = (int(dg.num_nodes), k_node_set_strategy, int(max_ccn))
+        eff_ccn = max(eff_ccn, _EFF_CCN_STICKY.get(key, 0))
+        _EFF_CCN_STICKY[key] = eff_ccn
 
     buckets = [
         b

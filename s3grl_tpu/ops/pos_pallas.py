@@ -42,8 +42,13 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _kernel(sel_ref, row_ids_ref, nbr_t_ref, w_t_ref, x_ref, out_ref,
-            A, Y, Y2, *, sign_k, R, select_mode):
+def _kernel(sel_ref, row_ids_ref, nbr_t_ref, w_t_ref, *rest,
+            sign_k, R, select_mode):
+    if select_mode:
+        sel_col_ref, x_ref, out_ref, A, Y, Y2 = rest
+    else:
+        x_ref, out_ref, A, Y, Y2 = rest
+        sel_col_ref = None
     i = pl.program_id(0)
     S = A.shape[0]
     D = nbr_t_ref.shape[1]  # padded to a multiple of _D_CHUNK
@@ -91,13 +96,14 @@ def _kernel(sel_ref, row_ids_ref, nbr_t_ref, w_t_ref, x_ref, out_ref,
         # O(S^2*F). For wide attributed features (Cora F=1433, CiteSeer
         # F=3703 -> f_pad 1536/3840) that is a 5-6x kernel-FLOP cut; for
         # f_pad = 128 the full chain is cheaper (R pads to >= one MXU tile).
+        # Selected rows arrive as a VMEM column [R_pad, 1]: the one-hot
+        # build is ONE vectorized compare and each power stores the whole
+        # padded block — a per-row formulation unrolled R_pad builds +
+        # R*(K+1) single-row stores and took minutes to Mosaic-compile at
+        # R=34.
         R_pad = Y.shape[0]
-        rows = []
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, S), 1)
-        for r in range(R_pad):
-            s_r = sel_ref[i * R + r] if r < R else -1
-            rows.append((lane == s_r).astype(jnp.float32))
-        Y[:] = jnp.concatenate(rows, axis=0)  # [R_pad, S] one-hot
+        lane = jax.lax.broadcasted_iota(jnp.int32, (R_pad, S), 1)
+        Y[:] = (lane == sel_col_ref[0]).astype(jnp.float32)  # [R_pad, S]
         for k in range(sign_k + 1):
             if k > 0:
                 Y[:] = jnp.dot(
@@ -110,8 +116,7 @@ def _kernel(sel_ref, row_ids_ref, nbr_t_ref, w_t_ref, x_ref, out_ref,
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )
-            for r in range(R):
-                out_ref[0, k, r, :] = Y2[pl.ds(r, 1), :][0]
+            out_ref[0, k] = Y2[:]
         return
 
     Y[:] = x_ref[0]
@@ -178,21 +183,37 @@ def pos_power_rows(
         row_ids = jnp.broadcast_to(jnp.arange(S, dtype=jnp.int32)[None], (B, S))
     row_ids_col = row_ids.astype(jnp.int32)[:, :, None]  # [B, S, 1]
 
+    in_specs = [
+        pl.BlockSpec((1, S, 1), lambda i, sel: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, D, S), lambda i, sel: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, D, S), lambda i, sel: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [row_ids_col, nbr_t, w_t]
+    if select_rows:
+        # Selected rows as a VMEM column (one vectorized one-hot compare in
+        # the kernel); invalid pad slots carry -1 -> all-zero rows.
+        sel_col = jnp.full((B, r_pad, 1), -1, dtype=jnp.int32)
+        sel_col = sel_col.at[:, :R, 0].set(sel_idx.astype(jnp.int32))
+        in_specs.append(
+            pl.BlockSpec((1, r_pad, 1), lambda i, sel: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        operands.append(sel_col)
+    in_specs.append(
+        pl.BlockSpec((1, S, f_pad), lambda i, sel: (i, 0, 0),
+                     memory_space=pltpu.VMEM)
+    )
+    operands.append(subg_x)
+    out_rows = r_pad if select_rows else R
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,  # flattened sel_idx
+        num_scalar_prefetch=1,  # flattened sel_idx (full-chain row reads)
         grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, S, 1), lambda i, sel: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, S), lambda i, sel: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, D, S), lambda i, sel: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S, f_pad), lambda i, sel: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
-            (1, sign_k + 1, R, f_pad), lambda i, sel: (i, 0, 0, 0),
+            (1, sign_k + 1, out_rows, f_pad), lambda i, sel: (i, 0, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -213,7 +234,9 @@ def pos_power_rows(
             _kernel, sign_k=sign_k, R=R, select_mode=bool(select_rows)
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, sign_k + 1, R, f_pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (B, sign_k + 1, out_rows, f_pad), jnp.float32
+        ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -223,8 +246,8 @@ def pos_power_rows(
             transcendentals=0,
         ),
         interpret=bool(interpret),
-    )(sel_idx.reshape(-1), row_ids_col, nbr_t, w_t, subg_x)
-    return out[..., :F]
+    )(sel_idx.reshape(-1), *operands)
+    return out[:, :, :R, :F]
 
 
 def vmem_ok(S: int, D: int, F: int, budget_bytes: int = 90 * 1024 * 1024) -> bool:
