@@ -497,20 +497,26 @@ def precompute_pos(
 
     # --- large-graph route: host-native BFS for node sets ---
     # The device edge-list BFS costs O(B*E) gather per hop plus a TPU
-    # scatter-add over E indices (which XLA serializes); past ~2e9 units of
-    # L*E work the threaded C++ BFS (native/graphcore.cpp) wins outright and
+    # scatter over E indices which XLA SERIALIZES — measured ~700 s for
+    # Cora's paper-protocol train split (18k links x 18k edges x 3 hops of
+    # serialized scatter) vs <1 s for the threaded C++ BFS
+    # (native/graphcore.cpp). The old 2e9 L*E threshold was calibrated ~30x
+    # too high for that scatter behavior; past ~1e8 the host route wins and
     # the device keeps only assembly + operators. Orderings are identical,
     # so the produced dataset matches the device path bit-for-bit.
     import os as _os_he
 
     _he_env = _os_he.environ.get("S3GRL_TPU_HOST_EXTRACT", "auto")
+    _he_min = float(
+        _os_he.environ.get("S3GRL_TPU_HOST_EXTRACT_MIN_LE", 1e8)
+    )
     host_extract = (
         extract_fn is _extract_and_operate
         and not (rw_m and rw_M)
         and ratio_per_hop >= 1.0
         and max_nodes_per_hop is None
         and _he_env != "0"
-        and (_he_env == "1" or L * int(dg.edge_src.shape[0]) >= 2e9)
+        and (_he_env == "1" or L * int(dg.edge_src.shape[0]) >= _he_min)
     )
     host_csr = None
     if host_extract:
@@ -549,7 +555,12 @@ def precompute_pos(
     R_rows = 2 + eff_ccn
     est_bytes = L * (sign_k + 1) * R_rows * (F + 1) * 4
     budget = float(_os.environ.get("S3GRL_TPU_DEVICE_DS_BYTES", 3.5e9))
-    host_assemble = est_bytes > 2 * budget
+    # Host assembly only when even the bf16 tier (est/2) exceeds 2x budget:
+    # it D2H's the whole dataset over the ~10 MB/s tunnel — Cora PoS+
+    # (7.4 GB f32, est marginally over the old 2x-budget cutoff) spent
+    # ~690 s PER SEED in np.asarray here while the 3.7 GB bf16 device tier
+    # fits 15.75 GB HBM with ample headroom.
+    host_assemble = est_bytes > 4 * budget
     store_dtype = jnp.float32 if est_bytes <= budget else jnp.bfloat16
     if host_assemble:
         xs_all = np.zeros((L, sign_k + 1, R_rows, F + 1), dtype=np.float32)
