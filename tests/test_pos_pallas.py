@@ -83,6 +83,82 @@ def test_select_rows_mode_matches_full_chain():
                                rtol=0, atol=0)
 
 
+def test_local_tab_path_matches_global(monkeypatch):
+    """The subgraph-local neighbor-table route (native gc_khop_local_tab +
+    pos_operators_local, the width-shrunk fast path of VERDICT r3 weak #2)
+    must reproduce the global-table kernel path exactly: same densified
+    sub-adjacency, same MXU chain, bit-identical outputs."""
+    import jax.numpy as jnp
+
+    from s3grl_tpu import native
+    from s3grl_tpu.operators.pos import (
+        pos_operators_global,
+        pos_operators_local,
+    )
+
+    if not native.available():
+        pytest.skip("native graphcore unavailable")
+    rng = np.random.default_rng(7)
+    g = _graph(rng)
+    dg = DeviceGraph.from_graph(g)
+    links = rng.integers(0, g.num_nodes, (16, 2)).astype(np.int32)
+    S = 128
+    rp, ci, _ = native.build_csr(
+        np.asarray(g.edge_index[0]), np.asarray(g.edge_index[1]),
+        None, g.num_nodes,
+    )
+    nd_ref, sz_ref = native.khop_nodes(rp, ci, links, 2, S)
+    nd, sz, loc, mdeg = native.khop_local_tab(
+        rp, ci, links, 2, S, min(S, int(dg.nbr.shape[1]))
+    )
+    np.testing.assert_array_equal(nd, nd_ref)
+    np.testing.assert_array_equal(sz, sz_ref)
+    assert int(mdeg.max()) <= min(S, int(dg.nbr.shape[1]))
+
+    hm = nd >= 0
+    nodes = jnp.asarray(np.where(hm, nd, 0))
+    mask = jnp.asarray(hm)
+    d_pad = 16
+    while d_pad < int(mdeg.max()):
+        d_pad *= 2
+    for kw in (dict(max_ccn=0, strategy=""),
+               dict(max_ccn=8, strategy="intersection"),
+               dict(max_ccn=8, strategy="union")):
+        xs_g, rm_g = pos_operators_global(
+            dg, jnp.asarray(links), nodes, mask, sign_k=3, **kw
+        )
+        xs_l, rm_l = pos_operators_local(
+            dg, nodes, mask, jnp.asarray(loc[:, :, :d_pad]), sign_k=3, **kw
+        )
+        np.testing.assert_array_equal(np.asarray(rm_g), np.asarray(rm_l))
+        np.testing.assert_allclose(
+            np.asarray(xs_g), np.asarray(xs_l), rtol=0, atol=0
+        )
+
+
+def test_precompute_pos_host_local_end_to_end(monkeypatch):
+    """Forced host-extract + pallas routes through khop_local_tab; the
+    assembled dataset must match the plain device path."""
+    from s3grl_tpu import native
+
+    if not native.available():
+        pytest.skip("native graphcore unavailable")
+    rng = np.random.default_rng(11)
+    g = _graph(rng)
+    dg = DeviceGraph.from_graph(g)
+    links = rng.integers(0, g.num_nodes, (24, 2)).astype(np.int32)
+    y = rng.integers(0, 2, 24).astype(np.float32)
+    kw = dict(num_hops=2, sign_k=2, buckets=(32, 64, 128), batch_size=8,
+              max_subgraph_nodes=128, seed=3, k_heuristic=1, max_ccn=8,
+              k_node_set_strategy="intersection")
+    monkeypatch.setenv("S3GRL_TPU_HOST_EXTRACT", "0")
+    a = precompute_pos(dg, links, y, use_pallas=False, **kw)
+    monkeypatch.setenv("S3GRL_TPU_HOST_EXTRACT", "1")
+    b = precompute_pos(dg, links, y, use_pallas=True, **kw)
+    np.testing.assert_allclose(a.xs, b.xs, rtol=2e-3, atol=2e-4)
+    np.testing.assert_array_equal(a.row_mask, b.row_mask)
+
+
 def test_vmem_ok_admits_large_graph_buckets():
     """Dispatch policy: the BlogCatalog-scale bucket (S=1024, D=3424) must
     take the fused kernel (~63 MB true double-buffered footprint vs the
