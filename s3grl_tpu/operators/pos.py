@@ -327,37 +327,27 @@ def pos_operators_global(
     from s3grl_tpu.ops.pos_pallas import pos_power_rows
 
     B, S = nodes.shape
-    gnbr = dg.nbr[nodes]  # [B, S, D] global neighbor ids (row gather)
-    # Binary adjacency (tuned_SIGN.py:155 implicit 1s); contributions FROM
-    # invalid slots zeroed; membership of the neighbor resolved in-kernel.
-    w = (dg.nbr_mask[nodes] & node_mask[:, :, None]).astype(jnp.float32)
-    # Target-link removal (utils.py:78-80): the (src,dst) edge appears in
-    # src's list as dst and in dst's list as src.
-    w = w.at[:, 0].set(
-        jnp.where(gnbr[:, 0] == links[:, 1][:, None], 0.0, w[:, 0])
-    )
-    w = w.at[:, 1].set(
-        jnp.where(gnbr[:, 1] == links[:, 0][:, None], 0.0, w[:, 1])
-    )
+    b_ix = jnp.arange(B)
+    # Target rows in hop order (slot 0 = src, slot 1 = dst), link-removed
+    # (utils.py:78-80): enough for CCN selection without materializing the
+    # full unsorted table.
+    gnbr0 = dg.nbr[nodes[:, 0]]  # [B, D]
+    gnbr1 = dg.nbr[nodes[:, 1]]
+    w0 = dg.nbr_mask[nodes[:, 0]] & (gnbr0 != links[:, 1][:, None])
+    w1 = dg.nbr_mask[nodes[:, 1]] & (gnbr1 != links[:, 0][:, None])
 
-    x_sub = dg.x[nodes] * node_mask[:, :, None]
-    ind = jnp.zeros((B, S, 1)).at[:, :2, :].set(1.0)
-    subg_x = jnp.concatenate([ind, x_sub], axis=-1)
-
-    # --- selected rows (targets + optional CCN) ---
+    # --- selected rows (targets + optional CCN), in HOP-ORDER slot space
+    # so the kept-CCN tie-break (lowest slot = closest hop, tuned_SIGN.py:
+    # 229-238) matches the reference exactly ---
     R = 2 + max_ccn
     sel_idx = jnp.zeros((B, R), dtype=jnp.int32).at[:, 1].set(1)
     row_mask = jnp.zeros((B, R), dtype=bool).at[:, :2].set(True)
     if max_ccn > 0:
-        # membership: slot j is a 1-hop neighbor of target t iff nodes[j]
-        # appears in t's (link-removed) neighbor list.
         nbr0 = (
-            (gnbr[:, 0, :, None] == nodes[:, None, :])
-            & (w[:, 0, :, None] > 0)
+            (gnbr0[:, :, None] == nodes[:, None, :]) & w0[:, :, None]
         ).any(axis=1)
         nbr1 = (
-            (gnbr[:, 1, :, None] == nodes[:, None, :])
-            & (w[:, 1, :, None] > 0)
+            (gnbr1[:, :, None] == nodes[:, None, :]) & w1[:, :, None]
         ).any(axis=1)
         if strategy == "union":
             ccn = nbr0 | nbr1
@@ -376,9 +366,54 @@ def pos_operators_global(
         )
         row_mask = row_mask.at[:, 2:].set(ccn_valid)
 
-    row_ids = jnp.where(node_mask, nodes, -1)
+    # --- staircase slot ordering (degree-descending) ---
+    # The kernel's densification cost is the number of occupied lane-tiles
+    # per 8-slot neighbor chunk; sorting source slots by degree makes the
+    # padded table's nonzero region a staircase it can skip past, dropping
+    # work from global-MAX-degree to ~mean-degree scaling (11-19x measured
+    # at the BlogCatalog bucket). The permutation is pure slot relabeling:
+    # identical sub-adjacency, CCN choice and outputs (selected rows are
+    # mapped through the inverse permutation; fp summation order differs).
+    stair = S % 128 == 0 and S >= 256
+    if stair:
+        deg_all = dg.nbr_mask.sum(axis=1).astype(jnp.int32)  # [N] table deg
+        deg_key = jnp.where(node_mask, deg_all[nodes], -1)
+        perm = jnp.argsort(-deg_key, axis=1, stable=True)  # [B, S]
+        inv_perm = jnp.argsort(perm, axis=1).astype(jnp.int32)
+        nodes_k = jnp.take_along_axis(nodes, perm, axis=1)
+        mask_k = jnp.take_along_axis(node_mask, perm, axis=1)
+        ind = ((perm < 2).astype(jnp.float32))[:, :, None]
+        sel_k = inv_perm[b_ix[:, None], sel_idx]
+        is_src = (perm == 0)[:, :, None]
+        is_dst = (perm == 1)[:, :, None]
+        deg_sorted = jnp.take_along_axis(deg_key, perm, axis=1)
+        DC = (int(dg.nbr.shape[1]) + 7) // 8
+        thresh = (jnp.arange(DC, dtype=jnp.int32) * 8)[None, :, None]
+        n_c = (deg_sorted[:, None, :] > thresh).sum(axis=-1)  # [B, DC]
+        chunk_tiles = (n_c + 127) // 128
+    else:
+        nodes_k, mask_k, sel_k = nodes, node_mask, sel_idx
+        ind = jnp.zeros((B, S, 1)).at[:, :2, :].set(1.0)
+        slot_iota = jnp.arange(S)[None, :, None]
+        is_src = slot_iota == 0
+        is_dst = slot_iota == 1
+        chunk_tiles = None
+
+    gnbr = dg.nbr[nodes_k]  # [B, S, D] global neighbor ids (row gather)
+    # Binary adjacency (tuned_SIGN.py:155 implicit 1s); contributions FROM
+    # invalid slots zeroed; membership of the neighbor resolved in-kernel.
+    w = (dg.nbr_mask[nodes_k] & mask_k[:, :, None]).astype(jnp.float32)
+    # Target-link removal on whichever slots hold src/dst.
+    w = jnp.where(is_src & (gnbr == links[:, 1][:, None, None]), 0.0, w)
+    w = jnp.where(is_dst & (gnbr == links[:, 0][:, None, None]), 0.0, w)
+
+    x_sub = dg.x[nodes_k] * mask_k[:, :, None]
+    subg_x = jnp.concatenate([ind, x_sub], axis=-1)
+
+    row_ids = jnp.where(mask_k, nodes_k, -1)
     xs = pos_power_rows(
-        sel_idx, gnbr, w, subg_x, sign_k=sign_k, row_ids=row_ids
+        sel_k, gnbr, w, subg_x, sign_k=sign_k, row_ids=row_ids,
+        chunk_tiles=chunk_tiles,
     )
     return xs * row_mask[:, None, :, None], row_mask
 
@@ -705,6 +740,88 @@ def precompute_pos(
         # buckets — bounded and visible, unlike lost sharding (ADVICE r3).
         if batch_multiple > 1 and bsz_cap % batch_multiple != 0:
             bsz_cap = max(bsz_cap, batch_multiple)
+
+        # --- one-dispatch-per-bucket scan route ---
+        # The remote-TPU tunnel charges ~30 ms of HOST time per jit call;
+        # at ~3 calls per batch the per-batch loop is dispatch-bound (~100
+        # ms/batch measured — BlogCatalog PoS plateaued at ~200 links/s
+        # with the staircase kernel because 128 batches of tunnel RTT, not
+        # compute, was the wall). Here the whole bucket runs as ONE device
+        # program: lax.scan over batch chunks, each scattering its rows
+        # into the DONATED output buffers (so peak memory stays dataset +
+        # one batch). Batch count pads to a power of two to bound jit
+        # signatures.
+        # OPT-IN while the compile economics are validated on the real
+        # chip: one scan program per (bucket, n_pad) signature costs
+        # 30-90 s of cold remote compile, and a small dataset's first
+        # seed can mint a dozen of them (observed: USAir seed 1 went
+        # from ~2 min to 20+ min cold). Warm, the route removes the
+        # ~100 ms/batch upload+dispatch tunnel tax.
+        scan_base = (
+            extract_fn is _extract_and_operate
+            and not host_assemble
+            and out_shardings is None
+            and not (rw_m and rw_M)
+            and _os_he.environ.get("S3GRL_TPU_BUCKET_SCAN", "0") == "1"
+        )
+        scan_host = (
+            scan_base
+            and host_extract
+            and _pallas_for_bucket(int(bucket))
+            and _os_he.environ.get("S3GRL_TPU_LOCAL_TAB") != "1"
+        )
+        scan_dev = scan_base and not host_extract
+        if scan_host or scan_dev:
+            L_b = len(idx_all)
+            n_b = (L_b + bsz_cap - 1) // bsz_cap
+            n_pad = 1 << max(0, (n_b - 1).bit_length())
+            tot = n_pad * bsz_cap
+            idx_pad = np.concatenate(
+                [idx_all, np.tile(idx_all[-1:], tot - L_b)]
+            )
+            lb_nb = links[idx_pad]
+            if scan_host:
+                from s3grl_tpu import native
+
+                nd, _sz = native.khop_nodes(
+                    host_csr[0], host_csr[1], lb_nb, num_hops, int(bucket)
+                )
+                hm = nd >= 0
+                xs_all, mask_all = _bucket_scan_operate(
+                    dg,
+                    xs_all,
+                    mask_all,
+                    jnp.asarray(idx_pad.reshape(n_pad, bsz_cap)),
+                    jnp.asarray(lb_nb.reshape(n_pad, bsz_cap, 2)),
+                    jnp.asarray(
+                        np.where(hm, nd, 0).reshape(n_pad, bsz_cap, -1)
+                    ),
+                    jnp.asarray(hm.reshape(n_pad, bsz_cap, -1)),
+                    sign_k=sign_k,
+                    max_ccn=eff_ccn,
+                    strategy=k_node_set_strategy,
+                )
+            else:
+                xs_all, mask_all = _bucket_scan_extract_operate(
+                    dg,
+                    xs_all,
+                    mask_all,
+                    jnp.asarray(idx_pad.reshape(n_pad, bsz_cap)),
+                    jnp.asarray(lb_nb.reshape(n_pad, bsz_cap, 2)),
+                    jnp.asarray(
+                        link_seeds[idx_pad].reshape(n_pad, bsz_cap)
+                    ),
+                    num_hops=num_hops,
+                    max_nodes=int(bucket),
+                    ratio_per_hop=ratio_per_hop,
+                    max_nodes_per_hop=max_nodes_per_hop,
+                    sign_k=sign_k,
+                    max_ccn=eff_ccn,
+                    strategy=k_node_set_strategy,
+                    use_pallas=_pallas_for_bucket(int(bucket)),
+                )
+            continue
+
         for start in range(0, len(idx_all), bsz_cap):
             idx = idx_all[start : start + bsz_cap]
             bsz = len(idx)
@@ -717,10 +834,20 @@ def precompute_pos(
             if host_extract:
                 from s3grl_tpu import native
 
-                if _pallas_for_bucket(int(bucket)):
-                    # Build the subgraph-local table in the same native
-                    # pass: the kernel then densifies at the batch's padded
-                    # max local degree, not the global max degree.
+                # Subgraph-local tables are OPT-IN (S3GRL_TPU_LOCAL_TAB=1):
+                # measured on the real chip, the width cut they promise
+                # does not materialize on either workload class — on
+                # hub-dense graphs (BlogCatalog) the local degree ~= S
+                # (mdeg mean 759 / max 1021 at S=1024, vs global 3424) so
+                # the per-batch int16 H2D (+ extra d_pad jit signatures at
+                # minutes per Mosaic compile over the tunnel) regressed
+                # PoS 161 -> 30 links/s, and on the attributed paper
+                # datasets the GLOBAL max degree is already tiny (Cora
+                # 168, CiteSeer 99) so densify is not the bottleneck. The
+                # path stays correct + bit-exact-tested for narrow-local
+                # regimes that need it.
+                if (_os_he.environ.get("S3GRL_TPU_LOCAL_TAB") == "1"
+                        and _pallas_for_bucket(int(bucket))):
                     d_cap = min(int(bucket), D_tab)
                     nd, _sz, loc, mdeg = native.khop_local_tab(
                         host_csr[0], host_csr[1], lb, num_hops,
@@ -773,6 +900,79 @@ def precompute_pos(
     return OperatorDataset(
         xs=xs_all, row_mask=mask_all, y=np.asarray(y, dtype=np.float32)
     )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("sign_k", "max_ccn", "strategy"),
+    donate_argnums=(1, 2),
+)
+def _bucket_scan_operate(
+    dg, xs_all, mask_all, idx_nb, lb_nb, nodes_nb, mask_nb,
+    *, sign_k, max_ccn, strategy,
+):
+    """Whole-bucket fused program: scan over batch chunks, each running the
+    global-table PoS operators and scattering its rows into the donated
+    output buffers in place. One tunnel dispatch per bucket instead of ~3
+    per batch (the measured per-batch dispatch floor was ~100 ms)."""
+
+    def body(carry, t):
+        xs_buf, m_buf = carry
+        idx, lb, nodes, mask = t
+        xs, rm = pos_operators_global(
+            dg, lb, nodes, mask,
+            sign_k=sign_k, max_ccn=max_ccn, strategy=strategy,
+        )
+        return (
+            xs_buf.at[idx].set(xs.astype(xs_buf.dtype)),
+            m_buf.at[idx].set(rm),
+        ), None
+
+    (xs_all, mask_all), _ = jax.lax.scan(
+        body, (xs_all, mask_all), (idx_nb, lb_nb, nodes_nb, mask_nb)
+    )
+    return xs_all, mask_all
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_hops", "max_nodes", "ratio_per_hop",
+                     "max_nodes_per_hop", "sign_k", "max_ccn", "strategy",
+                     "use_pallas"),
+    donate_argnums=(1, 2),
+)
+def _bucket_scan_extract_operate(
+    dg, xs_all, mask_all, idx_nb, lb_nb, ls_nb,
+    *, num_hops, max_nodes, ratio_per_hop, max_nodes_per_hop,
+    sign_k, max_ccn, strategy, use_pallas,
+):
+    """Device-extraction twin of _bucket_scan_operate: the whole bucket —
+    BFS extraction + operators + in-place scatter — as one scanned device
+    program. Small-graph datasets (the entire non-attributed paper grid)
+    were paying the same per-batch upload/dispatch tunnel tax."""
+
+    def body(carry, t):
+        xs_buf, m_buf = carry
+        idx, lb, ls = t
+        sub = extract_subgraphs(
+            dg, lb,
+            num_hops=num_hops, max_nodes=max_nodes,
+            ratio_per_hop=ratio_per_hop,
+            max_nodes_per_hop=max_nodes_per_hop, link_seeds=ls,
+        )
+        xs, rm = pos_operators(
+            sub, dg.x, sign_k=sign_k, max_ccn=max_ccn, strategy=strategy,
+            use_pallas=use_pallas,
+        )
+        return (
+            xs_buf.at[idx].set(xs.astype(xs_buf.dtype)),
+            m_buf.at[idx].set(rm),
+        ), None
+
+    (xs_all, mask_all), _ = jax.lax.scan(
+        body, (xs_all, mask_all), (idx_nb, lb_nb, ls_nb)
+    )
+    return xs_all, mask_all
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1))

@@ -41,23 +41,37 @@ def chip_lock(timeout: float | None = None, poll: float = 2.0):
     start = time.monotonic()
     waited_notice = 0.0
     try:
-        while True:
+        if timeout is None:
+            # Block IN KERNEL: a polling loop starves against a holder that
+            # re-acquires in a tight per-seed loop (release gaps are
+            # milliseconds; a 2 s poll hits them with probability ~1e-3 —
+            # observed: a probe waited 15+ min behind 30 s queue seeds).
+            # Kernel waiters are woken on release and win the race against
+            # the holder's NEXT open+flock far more reliably.
             try:
                 fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-                break
-            except OSError as e:
-                if e.errno not in (errno.EAGAIN, errno.EACCES):
-                    raise
-                waited = time.monotonic() - start
-                if timeout is not None and waited > timeout:
-                    raise TimeoutError(
-                        f"chip_lock: still held after {waited:.0f}s"
-                    ) from None
-                if waited - waited_notice > 120:
-                    waited_notice = waited
-                    print(f"chip_lock: waiting {waited:.0f}s for "
-                          f"{LOCK_PATH}", flush=True)
-                time.sleep(poll)
+            except OSError:
+                print(f"chip_lock: waiting (blocking) for {LOCK_PATH}",
+                      flush=True)
+                fcntl.flock(fd, fcntl.LOCK_EX)
+        else:
+            while True:
+                try:
+                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    break
+                except OSError as e:
+                    if e.errno not in (errno.EAGAIN, errno.EACCES):
+                        raise
+                    waited = time.monotonic() - start
+                    if waited > timeout:
+                        raise TimeoutError(
+                            f"chip_lock: still held after {waited:.0f}s"
+                        ) from None
+                    if waited - waited_notice > 120:
+                        waited_notice = waited
+                        print(f"chip_lock: waiting {waited:.0f}s for "
+                              f"{LOCK_PATH}", flush=True)
+                    time.sleep(poll)
         try:
             os.truncate(fd, 0)
             os.write(fd, f"pid={os.getpid()}\n".encode())
