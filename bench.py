@@ -306,28 +306,16 @@ def large_graph_precompute_rate(
     y = np.concatenate(
         [np.ones(n_links // 2), np.zeros(n_links // 2)]
     ).astype(np.float32)
-    import os as _os
-
-    # One-dispatch-per-bucket scan route: removes the ~100 ms/batch
-    # upload+dispatch tunnel tax that capped this workload (~200 links/s
-    # with the staircase kernel). Scoped to this section; its scan-program
-    # signatures depend on the bucket's padded batch COUNT, so the warmup
-    # must run at the SAME n_links as the timed pass.
-    _prev_scan = _os.environ.get("S3GRL_TPU_BUCKET_SCAN")
-    _os.environ["S3GRL_TPU_BUCKET_SCAN"] = "1"
-    try:
-        kw = dict(num_hops=2, sign_k=3, batch_size=32, seed=1)
-        ds_w = precompute_pos(dg, links, y, **kw)
-        _sync(ds_w.xs)  # warm EXECUTION must finish before the clock starts
-        t0 = time.perf_counter()
-        ds = precompute_pos(dg, links, y, **kw)
-        _sync(ds.xs)
-        pos_rate = round(len(links) / (time.perf_counter() - t0), 2)
-    finally:
-        if _prev_scan is None:
-            _os.environ.pop("S3GRL_TPU_BUCKET_SCAN", None)
-        else:
-            _os.environ["S3GRL_TPU_BUCKET_SCAN"] = _prev_scan
+    # Warm at the SAME n_links as the timed pass: the super-batch scan
+    # route's tail handling depends on the bucket's link count, so a
+    # smaller warmup would leave cold signatures in the timed region.
+    kw = dict(num_hops=2, sign_k=3, batch_size=32, seed=1)
+    ds_w = precompute_pos(dg, links, y, **kw)
+    _sync(ds_w.xs)  # warm EXECUTION must finish before the clock starts
+    t0 = time.perf_counter()
+    ds = precompute_pos(dg, links, y, **kw)
+    _sync(ds.xs)
+    pos_rate = round(len(links) / (time.perf_counter() - t0), 2)
 
     # SoP on the same links: the natural large-graph model (BASELINE.json
     # configs[4] "BlogCatalog + arxiv large-graph PoS/SoP") — one global

@@ -751,18 +751,28 @@ def precompute_pos(
         # into the DONATED output buffers (so peak memory stays dataset +
         # one batch). Batch count pads to a power of two to bound jit
         # signatures.
-        # OPT-IN while the compile economics are validated on the real
-        # chip: one scan program per (bucket, n_pad) signature costs
-        # 30-90 s of cold remote compile, and a small dataset's first
-        # seed can mint a dozen of them (observed: USAir seed 1 went
-        # from ~2 min to 20+ min cold). Warm, the route removes the
-        # ~100 ms/batch upload+dispatch tunnel tax.
+        # Super-batch scan: process SB batch chunks per device program
+        # (lax.scan inside) instead of one — removes the ~100 ms/batch
+        # upload+dispatch tunnel tax (measured: BlogCatalog PoS 201 -> 825
+        # links/s) at a FIXED jit-signature count: every super-batch pads
+        # to exactly SB chunks, so compile count equals the per-batch
+        # path's one-per-bucket (a whole-bucket scan minted a signature
+        # per batch COUNT and spent 20+ min cold-compiling USAir's first
+        # seed). SB=8 amortizes the tunnel tax 8x; S3GRL_TPU_SCAN_SB=1
+        # recovers the old per-batch behavior.
+        # Default SB targets ~2048 links per device program: buckets with
+        # tiny batch caps (BlogCatalog S=1024 -> bsz 16) need a deeper
+        # scan to amortize the tunnel tax, and SB is deterministic per
+        # bucket so the signature count stays one-ish per bucket.
+        scan_sb = int(_os_he.environ.get(
+            "S3GRL_TPU_SCAN_SB", str(max(8, 2048 // bsz_cap))
+        ))
         scan_base = (
             extract_fn is _extract_and_operate
             and not host_assemble
             and out_shardings is None
             and not (rw_m and rw_M)
-            and _os_he.environ.get("S3GRL_TPU_BUCKET_SCAN", "0") == "1"
+            and scan_sb > 1
         )
         scan_host = (
             scan_base
@@ -772,54 +782,65 @@ def precompute_pos(
         )
         scan_dev = scan_base and not host_extract
         if scan_host or scan_dev:
-            L_b = len(idx_all)
-            n_b = (L_b + bsz_cap - 1) // bsz_cap
-            n_pad = 1 << max(0, (n_b - 1).bit_length())
-            tot = n_pad * bsz_cap
-            idx_pad = np.concatenate(
-                [idx_all, np.tile(idx_all[-1:], tot - L_b)]
-            )
-            lb_nb = links[idx_pad]
-            if scan_host:
-                from s3grl_tpu import native
+            from s3grl_tpu import native
 
-                nd, _sz = native.khop_nodes(
-                    host_csr[0], host_csr[1], lb_nb, num_hops, int(bucket)
-                )
-                hm = nd >= 0
-                xs_all, mask_all = _bucket_scan_operate(
-                    dg,
-                    xs_all,
-                    mask_all,
-                    jnp.asarray(idx_pad.reshape(n_pad, bsz_cap)),
-                    jnp.asarray(lb_nb.reshape(n_pad, bsz_cap, 2)),
-                    jnp.asarray(
-                        np.where(hm, nd, 0).reshape(n_pad, bsz_cap, -1)
-                    ),
-                    jnp.asarray(hm.reshape(n_pad, bsz_cap, -1)),
-                    sign_k=sign_k,
-                    max_ccn=eff_ccn,
-                    strategy=k_node_set_strategy,
-                )
-            else:
-                xs_all, mask_all = _bucket_scan_extract_operate(
-                    dg,
-                    xs_all,
-                    mask_all,
-                    jnp.asarray(idx_pad.reshape(n_pad, bsz_cap)),
-                    jnp.asarray(lb_nb.reshape(n_pad, bsz_cap, 2)),
-                    jnp.asarray(
-                        link_seeds[idx_pad].reshape(n_pad, bsz_cap)
-                    ),
-                    num_hops=num_hops,
-                    max_nodes=int(bucket),
-                    ratio_per_hop=ratio_per_hop,
-                    max_nodes_per_hop=max_nodes_per_hop,
-                    sign_k=sign_k,
-                    max_ccn=eff_ccn,
-                    strategy=k_node_set_strategy,
-                    use_pallas=_pallas_for_bucket(int(bucket)),
-                )
+            # Adapt SB to the bucket: a 100-link bucket must not pad to
+            # 8*bsz links of duplicate compute. Power-of-two ladder keeps
+            # the signature set tiny ({1,2,4,8} worst case, usually one).
+            n_chunks = (len(idx_all) + bsz_cap - 1) // bsz_cap
+            eff_sb = min(scan_sb, n_chunks)
+            if eff_sb > 1:
+                eff_sb = 1 << (eff_sb - 1).bit_length()
+                eff_sb = min(eff_sb, scan_sb)
+            scan_sb = eff_sb
+            sb_links = scan_sb * bsz_cap
+            for start in range(0, len(idx_all), sb_links):
+                idx_sb = idx_all[start : start + sb_links]
+                if len(idx_sb) < sb_links:  # pad to the static SB shape
+                    idx_sb = np.concatenate(
+                        [idx_sb, np.tile(idx_sb[-1:], sb_links - len(idx_sb))]
+                    )
+                lb_nb = links[idx_sb]
+                if scan_host:
+                    nd, _sz = native.khop_nodes(
+                        host_csr[0], host_csr[1], lb_nb, num_hops,
+                        int(bucket),
+                    )
+                    hm = nd >= 0
+                    xs_all, mask_all = _bucket_scan_operate(
+                        dg,
+                        xs_all,
+                        mask_all,
+                        jnp.asarray(idx_sb.reshape(scan_sb, bsz_cap)),
+                        jnp.asarray(lb_nb.reshape(scan_sb, bsz_cap, 2)),
+                        jnp.asarray(
+                            np.where(hm, nd, 0)
+                            .reshape(scan_sb, bsz_cap, -1)
+                        ),
+                        jnp.asarray(hm.reshape(scan_sb, bsz_cap, -1)),
+                        sign_k=sign_k,
+                        max_ccn=eff_ccn,
+                        strategy=k_node_set_strategy,
+                    )
+                else:
+                    xs_all, mask_all = _bucket_scan_extract_operate(
+                        dg,
+                        xs_all,
+                        mask_all,
+                        jnp.asarray(idx_sb.reshape(scan_sb, bsz_cap)),
+                        jnp.asarray(lb_nb.reshape(scan_sb, bsz_cap, 2)),
+                        jnp.asarray(
+                            link_seeds[idx_sb].reshape(scan_sb, bsz_cap)
+                        ),
+                        num_hops=num_hops,
+                        max_nodes=int(bucket),
+                        ratio_per_hop=ratio_per_hop,
+                        max_nodes_per_hop=max_nodes_per_hop,
+                        sign_k=sign_k,
+                        max_ccn=eff_ccn,
+                        strategy=k_node_set_strategy,
+                        use_pallas=_pallas_for_bucket(int(bucket)),
+                    )
             continue
 
         for start in range(0, len(idx_all), bsz_cap):

@@ -196,9 +196,9 @@ def test_bucket_scan_route_matches_per_batch(monkeypatch):
               max_subgraph_nodes=256, seed=5, k_heuristic=1, max_ccn=8,
               k_node_set_strategy="intersection")
     monkeypatch.setenv("S3GRL_TPU_HOST_EXTRACT", "1")
-    monkeypatch.setenv("S3GRL_TPU_BUCKET_SCAN", "0")
+    monkeypatch.setenv("S3GRL_TPU_SCAN_SB", "1")  # per-batch path
     a = precompute_pos(dg, links, y, use_pallas=True, **kw)
-    monkeypatch.setenv("S3GRL_TPU_BUCKET_SCAN", "1")
+    monkeypatch.setenv("S3GRL_TPU_SCAN_SB", "4")  # super-batch scan path
     b = precompute_pos(dg, links, y, use_pallas=True, **kw)
     np.testing.assert_array_equal(a.row_mask, b.row_mask)
     np.testing.assert_allclose(a.xs, b.xs, rtol=0, atol=0)
