@@ -116,75 +116,102 @@ def run_walkpool_learning(
     n_params = _count_params(params)
     total_prep = time.perf_counter() - t_prep0
 
+    # One epoch = one scanned device program; per-batch dispatch paid the
+    # tunnel's ~30-100 ms upload tax per step (same fix as gnn_loop).
     @jax.jit
-    def train_step(params, batch_stats, opt_state, dg, lb, ls, yb, wb, dkey):
-        adj, z, m, x = build_batch(dg, lb, ls)
+    def train_epoch_scan(params, batch_stats, opt_state, dg,
+                         lb_e, ls_e, y_e, w_e, keys_e):
+        def body(carry, t):
+            params, batch_stats, opt_state = carry
+            lb, ls, yb, wb, dkey = t
+            adj, z, m, x = build_batch(dg, lb, ls)
 
-        def loss_fn(p):
-            out, mut = model.apply(
-                {"params": p, "batch_stats": batch_stats},
-                adj, z, m, x=x, train=True,
-                rngs={"dropout": dkey}, mutable=["batch_stats"],
+            def loss_fn(p):
+                out, mut = model.apply(
+                    {"params": p, "batch_stats": batch_stats},
+                    adj, z, m, x=x, train=True,
+                    rngs={"dropout": dkey}, mutable=["batch_stats"],
+                )
+                if mse:
+                    losses = (out - yb) ** 2
+                else:
+                    losses = bce_with_logits(out, yb)
+                return (
+                    (losses * wb).sum() / jnp.maximum(wb.sum(), 1.0),
+                    mut["batch_stats"],
+                )
+
+            (loss, new_bs), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, new_bs, opt_state), loss
+
+        (params, batch_stats, opt_state), losses = jax.lax.scan(
+            body, (params, batch_stats, opt_state),
+            (lb_e, ls_e, y_e, w_e, keys_e),
+        )
+        return params, batch_stats, opt_state, losses.mean()
+
+    @jax.jit
+    def predict_all(params, batch_stats, dg, lb_nb, ls_nb):
+        def one(t):
+            lb, ls = t
+            adj, z, m, x = build_batch(dg, lb, ls)
+            return model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                adj, z, m, x=x, train=False,
             )
-            if mse:
-                losses = (out - yb) ** 2
-            else:
-                losses = bce_with_logits(out, yb)
-            return (losses * wb).sum() / jnp.maximum(wb.sum(), 1.0), mut[
-                "batch_stats"
-            ]
 
-        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, new_bs, opt_state, loss
+        return jax.lax.map(one, (lb_nb, ls_nb))
 
-    @jax.jit
-    def predict_step(params, batch_stats, dg, lb, ls):
-        adj, z, m, x = build_batch(dg, lb, ls)
-        return model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            adj, z, m, x=x, train=False,
+    bsz = cfg.batch_size
+    eval_batches = {}
+    for split in ("valid", "test"):
+        links, _ = splits[split]
+        seeds = link_seeds[split]
+        n = len(links)
+        nb = (n + bsz - 1) // bsz
+        pad = nb * bsz - n
+        lb = np.concatenate([links, np.tile(links[-1:], (pad, 1))]) if pad else links
+        ls = np.concatenate([seeds, np.tile(seeds[-1:], pad)]) if pad else seeds
+        eval_batches[split] = (
+            jnp.asarray(lb.reshape(nb, bsz, 2)),
+            jnp.asarray(ls.reshape(nb, bsz)),
+            n,
         )
 
     def predict_split(split):
-        links, _ = splits[split]
-        seeds = link_seeds[split]
-        bsz = cfg.batch_size
-        outs = []
-        for s in range(0, len(links), bsz):
-            lb, ls = links[s : s + bsz], seeds[s : s + bsz]
-            pad = bsz - len(lb)
-            if pad:
-                lb = np.concatenate([lb, np.tile(lb[-1:], (pad, 1))])
-                ls = np.concatenate([ls, np.tile(ls[-1:], pad)])
-            o = np.asarray(
-                predict_step(params, batch_stats, dg, jnp.asarray(lb), jnp.asarray(ls))
-            )
-            outs.append(o[: bsz - pad] if pad else o)
-        return np.concatenate(outs)
+        lb_nb, ls_nb, n = eval_batches[split]
+        out = predict_all(params, batch_stats, dg, lb_nb, ls_nb)
+        return np.asarray(out).reshape(-1)[:n]
 
     loggers = {"AUC": Logger(cfg.runs), "AP": Logger(cfg.runs)}
     np_rng = np.random.default_rng(cfg.seed)
     train_links, train_y = splits["train"]
-    L, bsz = len(train_links), cfg.batch_size
+    L = len(train_links)
     steps = (L + bsz - 1) // bsz
+    pad_n = steps * bsz - L
+    train_seeds = link_seeds["train"]
     train_times, inference_times = [], []
     for epoch in range(1, cfg.epochs + 1):
         t0 = time.perf_counter()
         perm = np_rng.permutation(L)
-        for s in range(steps):
-            idx = perm[s * bsz : (s + 1) * bsz]
-            w = np.ones(bsz, dtype=np.float32)
-            if len(idx) < bsz:
-                w[len(idx):] = 0.0
-                idx = np.concatenate([idx, np.zeros(bsz - len(idx), dtype=idx.dtype)])
-            key, dkey = jax.random.split(key)
-            params, batch_stats, opt_state, _ = train_step(
-                params, batch_stats, opt_state, dg,
-                jnp.asarray(train_links[idx]), jnp.asarray(link_seeds["train"][idx]),
-                jnp.asarray(train_y[idx]), jnp.asarray(w), dkey,
-            )
+        w_e = np.ones(steps * bsz, dtype=np.float32)
+        if pad_n:
+            w_e[L:] = 0.0
+            perm = np.concatenate([perm, np.zeros(pad_n, dtype=perm.dtype)])
+        key, ek = jax.random.split(key)
+        keys_e = jax.random.split(ek, steps)
+        params, batch_stats, opt_state, _ = train_epoch_scan(
+            params, batch_stats, opt_state, dg,
+            jnp.asarray(train_links[perm].reshape(steps, bsz, 2)),
+            jnp.asarray(train_seeds[perm].reshape(steps, bsz)),
+            jnp.asarray(train_y[perm].reshape(steps, bsz)),
+            jnp.asarray(w_e.reshape(steps, bsz)),
+            keys_e,
+        )
         train_times.append(time.perf_counter() - t0)
         if epoch % cfg.eval_steps == 0:
             val_pred = predict_split("valid")
