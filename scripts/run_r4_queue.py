@@ -56,12 +56,12 @@ GROUPS = [
      "Power_GCN_DE"),
     (AUC, "results/paper/yeast_router.json",
      "Yeast_PoS_Plus,Yeast_SoP,Router_PoS,Router_PoS_Plus,Router_SoP"),
+    (AUC, "results/paper/pb_ecoli.json",
+     "PB_PoS,PB_PoS_Plus,PB_SoP,Ecoli_PoS,Ecoli_PoS_Plus,Ecoli_SoP"),
     ("configs/paper/scaled.json", "results/scaled/scaled.json",
      "Cora_PoS,Cora_PoS_ScaLed,Cora_PoS_Plus,Cora_PoS_Plus_ScaLed,"
      "CiteSeer_PoS,CiteSeer_PoS_ScaLed,CiteSeer_PoS_Plus,"
      "CiteSeer_PoS_Plus_ScaLed"),
-    (AUC, "results/paper/pb_ecoli.json",
-     "PB_PoS,PB_PoS_Plus,PB_SoP,Ecoli_PoS,Ecoli_PoS_Plus,Ecoli_SoP"),
     ("configs/paper/profiling_non.json", "results/paper/profiling_non.json",
      None),  # None = whole suite (single-run timing rows)
     ("configs/paper/profiling_attr.json", "results/paper/profiling_attr.json",
