@@ -515,21 +515,39 @@ def measure_ccn_width(
         has_edge = np.asarray(A[s, d]).ravel()
         counts = deg[s] + deg[d] - cn - 2 * has_edge
     measured = int(counts.max()) if len(counts) else 0
-    if measured > cap:
-        # The reference keeps exactly |CCN| rows per link (tuned_SIGN.py:238);
-        # capping below the measured max silently drops CCN rows for the
+    # Pad width = a high PERCENTILE of the per-link CCN counts, not the
+    # max: the dataset layout is [L, K+1, 2+R, F+1], so one outlier hub
+    # pair sizes EVERY link's row pad. On CiteSeer (F=3703) the measured
+    # max of 42 (vs mean |CCN ∩| ~ 1) made the operator dataset ~33 GB —
+    # bigger than HBM, forcing a multi-hour host-assembly D2H crawl. At
+    # p99.5 the affected links (those with more CCN rows than the pad)
+    # lose only their FURTHEST CCN rows, exactly the truncation semantics
+    # the cap warning below already documents.
+    import os as _os
+
+    pct = float(_os.environ.get("S3GRL_TPU_CCN_PAD_PCT", "99.5"))
+    if len(counts) and pct < 100:
+        width = int(np.ceil(np.percentile(counts, pct)))
+    else:
+        width = measured
+    width = max(1, min(cap, width))
+    if width < measured:
+        # The reference keeps exactly |CCN| rows per link (tuned_SIGN.py:
+        # 238); padding below the measured max drops CCN rows for the
         # densest links — surface it (VERDICT r2 weak #8).
         import warnings
 
+        n_trunc = int((counts > width).sum())
         warnings.warn(
-            f"PoS+ CCN width capped: measured max |CCN| = {measured} over "
-            f"{len(counts)} links but max_ccn cap = {cap}; links whose CCN "
-            f"set exceeds the cap lose their furthest-slot CCN rows relative "
-            f"to the reference's exact selection (tuned_SIGN.py:238). Raise "
-            f"max_ccn_nodes to keep them.",
+            f"PoS+ CCN pad width {width} (cap {cap}, "
+            f"p{pct} of per-link counts) < measured max {measured}: "
+            f"{n_trunc}/{len(counts)} links lose their furthest-slot CCN "
+            f"rows relative to the reference's exact selection "
+            f"(tuned_SIGN.py:238). Raise max_ccn_nodes / "
+            f"S3GRL_TPU_CCN_PAD_PCT to keep them.",
             stacklevel=2,
         )
-    return max(1, min(cap, measured))
+    return width
 
 
 def precompute_pos(
