@@ -778,13 +778,14 @@ def precompute_pos(
         # per batch COUNT and spent 20+ min cold-compiling USAir's first
         # seed). SB=8 amortizes the tunnel tax 8x; S3GRL_TPU_SCAN_SB=1
         # recovers the old per-batch behavior.
-        # Default SB targets ~2048 links per device program: buckets with
-        # tiny batch caps (BlogCatalog S=1024 -> bsz 16) need a deeper
-        # scan to amortize the tunnel tax, and SB is deterministic per
-        # bucket so the signature count stays one-ish per bucket.
-        scan_sb = int(_os_he.environ.get(
-            "S3GRL_TPU_SCAN_SB", str(max(8, 2048 // bsz_cap))
-        ))
+        # OPT-IN (S3GRL_TPU_SCAN_SB>1): A/B on the real chip measured the
+        # scan route HALVING the USAir headline (precompute 4229 -> 1391
+        # links/s; scan serialization + super-batch padding beat the
+        # upload savings there) while BlogCatalog/arxiv were indifferent
+        # (~1055 links/s both ways — their win came from the staircase
+        # kernel + warm-protocol fix, not the scan). Default stays the
+        # per-batch dispatch path.
+        scan_sb = int(_os_he.environ.get("S3GRL_TPU_SCAN_SB", "1"))
         scan_base = (
             extract_fn is _extract_and_operate
             and not host_assemble
