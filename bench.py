@@ -230,6 +230,13 @@ def kernel_efficiency_report(graph) -> dict:
             # as pos_pallas_large) so the two rows are comparable; the
             # staircase skips empty lane-tiles rather than doing the work.
             report[tag]["note"] = "nominal-dense flop equivalents"
+        elif report[tag]["mxu_f32_utilization"] > 1.2 or (
+            report[tag]["hbm_utilization"] > 1.2
+        ):
+            # A marginal implying >peak hardware throughput is tunnel
+            # noise that slipped past the non-positive check — flag it
+            # rather than publishing an impossible number (ADVICE r3 #1).
+            report[tag]["noisy_measurement"] = True
 
     # --- BSR SpMM at production SoP scale ---
     # The headline graph (USAir, 9 blocks) is dispatch-dominated; measure on
