@@ -619,6 +619,38 @@ def precompute_pos(
             eff_ccn = min(max_ccn, r)
         key = (int(dg.num_nodes), k_node_set_strategy, int(max_ccn))
         eff_ccn = max(eff_ccn, _EFF_CCN_STICKY.get(key, 0))
+        # Fit-to-memory (applied AFTER the sticky merge so it cannot be
+        # undone by a smaller split's sticky value): the dataset layout
+        # [L, K+1, 2+R, F+1] must fit the device tier even as bf16, or
+        # every seed falls into the host-assembly D2H crawl (~10 MB/s
+        # over the tunnel) — and the measured usable HBM headroom on this
+        # shared chip is only ~4-7 GB. Halve the CCN pad down the pow2
+        # ladder until the bf16 dataset fits the budget; the dropped rows
+        # are the furthest CCN slots of the densest links (same truncation
+        # semantics the pad warning documents). Signature set per dataset
+        # stays bounded ({train width, small-split width}).
+        import os as _os_fit
+
+        _fit_budget = float(
+            _os_fit.environ.get("S3GRL_TPU_DEVICE_DS_BYTES", 3.5e9)
+        )
+        F_fit = int(dg.x.shape[1]) + 1
+        while eff_ccn > 2:
+            est_bf16 = L * (sign_k + 1) * (2 + eff_ccn) * F_fit * 2
+            if est_bf16 <= _fit_budget:
+                break
+            import warnings
+
+            warnings.warn(
+                f"PoS+ CCN pad halved {eff_ccn} -> {eff_ccn // 2} to fit "
+                f"the device dataset budget ({est_bf16 / 1e9:.1f} GB bf16 "
+                f"at R={2 + eff_ccn} > {_fit_budget / 1e9:.1f} GB for "
+                f"L={L}, F={F_fit - 1}); densest links lose their furthest "
+                f"CCN rows (reference keeps exact per-link sets, "
+                f"tuned_SIGN.py:238).",
+                stacklevel=2,
+            )
+            eff_ccn //= 2
         _EFF_CCN_STICKY[key] = eff_ccn
 
     buckets = [
