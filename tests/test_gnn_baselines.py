@@ -53,3 +53,17 @@ def test_gnn_baseline_learns(model, label):
     prep, best, ttimes, itimes, nparams = run_sgrl_learning(cfg)
     assert nparams > 0
     assert best > 60.0, f"{model}/{label} failed to learn: {best}"
+
+
+def test_gnn_static_cache_matches_dynamic(monkeypatch):
+    """The static-dataset mode (extract+label once per link, re-densify
+    the adjacency from the global table per batch — reference SEALDataset
+    semantics) must produce the same learning trajectory as per-epoch
+    extraction: same deterministic subgraphs, same labels, same AUC."""
+    cfg = RunConfig(**{**BASE, "model": "DGCNN", "node_label": "drnl",
+                       "epochs": 3})
+    monkeypatch.setenv("S3GRL_TPU_GNN_STATIC", "0")
+    _, best_dyn, _, _, _ = run_sgrl_learning(cfg)
+    monkeypatch.setenv("S3GRL_TPU_GNN_STATIC", "auto")
+    _, best_sta, _, _, _ = run_sgrl_learning(cfg)
+    assert abs(best_dyn - best_sta) < 1.0, (best_dyn, best_sta)
