@@ -378,20 +378,14 @@ class _section_alarm:
 def main():
     import contextlib
 
-    # Transfer-channel warmup FIRST (an 8-float fetch): the first D2H of a
-    # process can stall 1-25 min establishing the tunnel channel, and that
-    # stall must overlap the lock WAIT below, not the lock HOLD — holding
-    # the chip flock through it would starve the accuracy queue for the
-    # duration.
-    from s3grl_tpu.utils.warmup import warm_transfer_async
-
-    warm_transfer_async()
-
-    # One chip, many workloads: take the shared flock so the accuracy
-    # queue's in-flight seeded run finishes before the bench claims the
-    # chip, instead of wedging it with RESOURCE_EXHAUSTED (that cascade
-    # killed nine queue groups in round 3 — VERDICT r3 weak #1). Held for
-    # the whole bench; the queue blocks per-seed and resumes after.
+    # One chip, many workloads: take the shared flock BEFORE any device
+    # touch — including warm_transfer_async(), whose backend-client init
+    # is itself a device claim that can OOM the current lock holder
+    # (observed r4: a waiting 1-seed verify run killed the queue's 43-min
+    # CiteSeer prep; ADVICE r4 #2). The transfer-channel warmup therefore
+    # runs under the HOLD: its 1-25 min first-D2H stall is paid by the
+    # bench itself, never charged to a concurrent queue run. Held for the
+    # whole bench; the queue blocks per-seed and resumes after.
     try:
         from s3grl_tpu.utils.chiplock import chip_lock
 
@@ -399,6 +393,10 @@ def main():
     except Exception:
         lock = contextlib.nullcontext()
     lock.__enter__()
+
+    from s3grl_tpu.utils.warmup import warm_transfer_async
+
+    warm_transfer_async()
 
     from s3grl_tpu.config import RunConfig
     from s3grl_tpu.data.features import init_features

@@ -65,10 +65,13 @@ def _run_with_retry(cfg, max_attempts: int = 3):
 
     # Only the real TPU is a contended singleton; CPU runs (tests, virtual
     # meshes) must not queue behind a multi-minute TPU seed run. Decided
-    # from the ENV, not jax.default_backend(): initializing the backend
-    # client here — i.e. before acquiring the lock — is itself a device
-    # touch that can OOM the current lock holder (observed r4).
-    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    # from the ENV via the shared affirmative-signal check (ADVICE r4 #3),
+    # not jax.default_backend(): initializing the backend client here —
+    # i.e. before acquiring the lock — is itself a device touch that can
+    # OOM the current lock holder (observed r4).
+    from s3grl_tpu.utils.chiplock import chip_is_contended
+
+    if not chip_is_contended():
         def chip_lock():
             return contextlib.nullcontext()
     else:

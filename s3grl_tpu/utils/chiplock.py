@@ -27,6 +27,22 @@ import time
 LOCK_PATH = os.environ.get("S3GRL_CHIP_LOCK", "/root/repo/logs/chip.lock")
 
 
+def chip_is_contended() -> bool:
+    """True iff this process will touch the shared singleton TPU chip.
+
+    Affirmative-signal check (ADVICE r4 #3): only an explicit axon/tpu
+    selection in JAX_PLATFORMS counts as lock-worthy. Unset or anything
+    else (cpu, a cpu-first list) means no chip touch — taking the flock
+    then would block a pure CPU process behind a multi-minute TPU seed
+    run, or forever on a machine with no TPU at all. Decided from the
+    ENV, never ``jax.default_backend()``: initializing the backend client
+    before holding the lock is itself a device touch that can OOM the
+    current holder (observed r4).
+    """
+    first = os.environ.get("JAX_PLATFORMS", "").split(",")[0].strip()
+    return first.lower() in ("axon", "tpu")
+
+
 @contextlib.contextmanager
 def chip_lock(timeout: float | None = None, poll: float = 2.0):
     """Blocking advisory lock on the single TPU chip.

