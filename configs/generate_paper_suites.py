@@ -229,12 +229,29 @@ def profiling_non() -> dict:
     return _profiling(["NS", "Power", "Yeast", "Ecoli", "PB"])
 
 
+def initrep() -> dict:
+    """Init-representation substitute rows (VERDICT r4 next #7): the paper's
+    PubMed+GAE flagship is environment-blocked (missing ind.pubmed.allx,
+    zero egress), so the GAE/GIC pretraining zoo gets end-to-end protocol
+    evidence on the nearest runnable configuration — Cora PoS with
+    init_representation=GAE and =GIC (reference hook
+    sgrl_link_pred.py:973-1003, baselines/vgae.py:80, GICEmbs.py:76)."""
+    base = auc_s3grl()["Cora_PoS"]
+    out = {}
+    for kind in ("GAE", "GIC"):
+        e = json.loads(json.dumps(base))
+        e["hyperparams_per_run"]["init_representation"] = kind
+        out[f"Cora_PoS_{kind}"] = e
+    return out
+
+
 SUITES = {
     "auc_s3grl": auc_s3grl,
     "table_2": table_2,
     "scaled": scaled,
     "profiling_attr": profiling_attr,
     "profiling_non": profiling_non,
+    "initrep": initrep,
 }
 
 

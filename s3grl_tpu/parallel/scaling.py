@@ -41,7 +41,7 @@ def _synthetic_graph(rng, n_nodes: int, avg_degree: int, f: int) -> Graph:
 
 
 def _train_rate(mesh, ds, epochs: int, hidden: int, seed: int,
-                batch_per_device: int = 32) -> float:
+                batch_per_device: int = 32, hlo_sink: list | None = None):
     """Links/s through sharded SIGNNet training on an OperatorDataset."""
     import jax.numpy as jnp
     import optax
@@ -131,6 +131,14 @@ def _train_rate(mesh, ds, epochs: int, hidden: int, seed: int,
         )
         return params, batch_stats, opt_state, losses.sum()
 
+    if hlo_sink is not None:
+        hlo_sink.append(
+            train_epoch.lower(
+                params, batch_stats, opt_state, xs_all, rm_all, y_all,
+                jax.random.PRNGKey(0),
+            ).compile().as_text()
+        )
+
     # Warmup (compile)
     params, batch_stats, opt_state, loss = train_epoch(
         params, batch_stats, opt_state, xs_all, rm_all, y_all,
@@ -152,7 +160,8 @@ def _train_rate(mesh, ds, epochs: int, hidden: int, seed: int,
 
 
 def dp_step_control(mesh, steps: int, batch_per_device: int = 32,
-                    n_params: int = 262144, iters: int = 3) -> float:
+                    n_params: int = 262144, iters: int = 3,
+                    hlo_sink: list | None = None) -> float:
     """Links/s of the MINIMAL data-parallel train step, scanned like the
     real epoch: fwd matmul -> bwd matmul -> grad-psum over 'data' ->
     param update, with the weight matrix sized to ~n_params (so the psum
@@ -190,6 +199,8 @@ def dp_step_control(mesh, steps: int, batch_per_device: int = 32,
         w, _ = jax.lax.scan(body, w, x_all)
         return w
 
+    if hlo_sink is not None:
+        hlo_sink.append(run.lower(w0, x_all).compile().as_text())
     jax.block_until_ready(run(w0, x_all))
     t0 = time.perf_counter()
     w = w0
@@ -200,7 +211,7 @@ def dp_step_control(mesh, steps: int, batch_per_device: int = 32,
 
 
 def matmul_control(mesh, rows_per_device: int = 256, k: int = 1024,
-                   iters: int = 20) -> float:
+                   iters: int = 20, hlo_sink: list | None = None) -> float:
     """Rows/s of a ZERO-communication batch-sharded matmul chain — the
     wall-clock upper bound any data-parallel program can reach on the
     current platform. On the virtual CPU mesh
@@ -221,12 +232,59 @@ def matmul_control(mesh, rows_per_device: int = 256, k: int = 1024,
         rng.random((k, k), dtype=np.float32), NamedSharding(mesh, P())
     )
     f = jax.jit(lambda x, w: jnp.tanh(x @ w) @ w)
+    if hlo_sink is not None:
+        hlo_sink.append(f.lower(x, w).compile().as_text())
     jax.block_until_ready(f(x, w))
     t0 = time.perf_counter()
     for _ in range(iters):
         out = f(x, w)
     jax.block_until_ready(out)
     return B * iters / (time.perf_counter() - t0)
+
+
+def analyze_hlo(text: str) -> dict:
+    """Collective/structure census of one optimized-HLO module: the
+    artifact behind the b32-vs-control claim (VERDICT r4 weak #4 / next
+    #9). Counts are of HLO instructions in the compiled module; a
+    collective inside the scan body appears once (executed per step)."""
+    import re
+
+    kinds = ("all-reduce", "all-gather", "reduce-scatter",
+             "collective-permute", "all-to-all")
+    counts = {k: 0 for k in kinds}
+    widths = {"f64": 8, "s64": 8, "u64": 8, "f32": 4, "s32": 4, "u32": 4,
+              "bf16": 2, "f16": 2, "s16": 2, "u16": 2, "s8": 1, "u8": 1,
+              "pred": 1}
+    shape_re = re.compile(r"([a-z0-9]+)\[([0-9,]*)\]")
+    n_instr, n_while, ar_bytes = 0, 0, 0
+    for line in text.splitlines():
+        if " = " not in line:
+            continue
+        n_instr += 1
+        rhs = line.split(" = ", 1)[1]
+        if " while(" in rhs:
+            n_while += 1
+        for k in kinds:
+            pos = max(rhs.find(f" {k}("), rhs.find(f" {k}-start("))
+            if pos == -1:
+                continue
+            counts[k] += 1
+            if k == "all-reduce":
+                # sum every element of the (possibly tuple) result shape:
+                # the psum claim is about BYTES, not instruction count —
+                # the grad tree fuses into several all-reduces whose
+                # shapes sum to ~n_params * itemsize.
+                for dtype, dims in shape_re.findall(rhs[:pos]):
+                    n = 1
+                    for d in dims.split(","):
+                        if d:
+                            n *= int(d)
+                    ar_bytes += n * widths.get(dtype, 4)
+            break
+    counts["while_loops"] = n_while
+    counts["instructions"] = n_instr
+    counts["all_reduce_bytes"] = int(ar_bytes)
+    return counts
 
 
 def measure(
@@ -239,6 +297,7 @@ def measure(
     epochs: int = 3,
     seed: int = 0,
     hidden: int = 256,
+    hlo_dir: str | None = None,
 ) -> dict:
     """One weak-scaling row. Defaults mirror the paper protocol's operating
     point (hidden=256, wide attributed features, sign_k=3, batch 32/device)
@@ -281,14 +340,32 @@ def measure(
     precompute_sop_sharded(mesh, dg, links, y, sign_k=sign_k)
     t_sop = time.perf_counter() - t0
 
-    train_rate, n_params = _train_rate(mesh, ds_pos, epochs=epochs,
-                                       hidden=hidden, seed=seed)
+    sinks = {"train_b32": [], "dp_control": [], "matmul_control": []} \
+        if hlo_dir else None
+    train_rate, n_params = _train_rate(
+        mesh, ds_pos, epochs=epochs, hidden=hidden, seed=seed,
+        hlo_sink=sinks["train_b32"] if sinks else None,
+    )
     train_rate_b128, _ = _train_rate(mesh, ds_pos, epochs=4 * epochs,
                                      hidden=hidden, seed=seed,
                                      batch_per_device=128)
 
     steps_b32 = max(L // (32 * n_devices), 1)
-    return {
+    hlo_evidence = None
+    if sinks is not None:
+        import os
+
+        matmul_control(mesh, hlo_sink=sinks["matmul_control"])
+        dp_step_control(mesh, steps=steps_b32, n_params=int(n_params),
+                        hlo_sink=sinks["dp_control"])
+        os.makedirs(hlo_dir, exist_ok=True)
+        hlo_evidence = {}
+        for name, sink in sinks.items():
+            path = os.path.join(hlo_dir, f"{name}_{n_devices}dev.hlo.txt")
+            with open(path, "w") as fh:
+                fh.write(sink[0])
+            hlo_evidence[name] = {"file": path, **analyze_hlo(sink[0])}
+    row = {
         "devices": n_devices,
         "links": L,
         "pos_links_per_sec": round(L / t_pos, 2),
@@ -305,6 +382,9 @@ def measure(
             2,
         ),
     }
+    if hlo_evidence is not None:
+        row["hlo_evidence"] = hlo_evidence
+    return row
 
 
 def main():
@@ -312,6 +392,9 @@ def main():
     ap.add_argument("--devices", type=int, nargs="*", default=None)
     ap.add_argument("--links_per_device", type=int, default=512)
     ap.add_argument("--nodes", type=int, default=4000)
+    ap.add_argument("--hlo_dir", type=str, default=None,
+                    help="dump compiled HLO + collective census for the "
+                         "largest device count (VERDICT r4 #9 evidence)")
     args = ap.parse_args()
     avail = len(jax.devices())
     counts = args.devices or [d for d in (1, 2, 4, 8) if d <= avail]
@@ -328,7 +411,8 @@ def main():
     results = []
     for n in counts:
         r = measure(n, links_per_device=args.links_per_device,
-                    n_nodes=args.nodes)
+                    n_nodes=args.nodes,
+                    hlo_dir=args.hlo_dir if n == max(counts) else None)
         results.append(r)
         print(json.dumps(r))
     if len(results) > 1:
@@ -368,6 +452,11 @@ def main():
             "weak_scaling_efficiency": eff,
             "platform_control_efficiency": ctrl,
             "efficiency_vs_platform_control": eff_ctrl,
+            # BOTH controls, explicitly (VERDICT r4 #9): the r3-comparable
+            # zero-communication yardstick and the r4 communication-matched
+            # DP yardstick, so the round-over-round series stays readable.
+            "train_b32_vs_zero_comm_control":
+                eff_ctrl["train_links_per_sec"],
             "train_b32_vs_matched_dp_control": b32_vs_dp,
             "from": base["devices"],
             "to": r_n["devices"],

@@ -35,11 +35,28 @@ def chip_is_contended() -> bool:
     else (cpu, a cpu-first list) means no chip touch — taking the flock
     then would block a pure CPU process behind a multi-minute TPU seed
     run, or forever on a machine with no TPU at all. Decided from the
-    ENV, never ``jax.default_backend()``: initializing the backend client
-    before holding the lock is itself a device touch that can OOM the
-    current holder (observed r4).
+    ENV / jax.config STATE, never ``jax.default_backend()``: initializing
+    the backend client before holding the lock is itself a device touch
+    that can OOM the current holder (observed r4).
+
+    ``jax.config.jax_platforms`` wins over the raw env var when jax is
+    already imported: this image exports JAX_PLATFORMS=axon globally, and
+    the test suite forces the CPU backend via ``jax.config.update``
+    without touching the env — deciding from the env alone made the full
+    pytest run block on the accuracy queue's flock for a CPU-only test.
+    Reading config state imports jax but initializes no backend.
     """
-    first = os.environ.get("JAX_PLATFORMS", "").split(",")[0].strip()
+    plats = ""
+    import sys
+
+    if "jax" in sys.modules:  # config reflects any update() already made
+        try:
+            plats = sys.modules["jax"].config.jax_platforms or ""
+        except Exception:
+            plats = ""
+    if not plats:
+        plats = os.environ.get("JAX_PLATFORMS", "")
+    first = plats.split(",")[0].strip()
     return first.lower() in ("axon", "tpu")
 
 
