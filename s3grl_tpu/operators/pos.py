@@ -650,20 +650,6 @@ def precompute_pos(
 
     link_seeds = (np.int64(seed) * 1_000_003 + np.arange(L)).astype(np.int32)
 
-    sizes = size_oracle
-    if sizes is None:
-        if rw_m and rw_M:
-            # rw subgraph size is bounded by the nodes 2*M walks can visit
-            bound = min(2 * rw_M * (rw_m + 1), dg.num_nodes, max_subgraph_nodes)
-            sizes = np.full(L, bound, dtype=np.int32)
-        else:
-            sizes = measure_subgraph_sizes(
-                dg, links, link_seeds, num_hops=num_hops,
-                ratio_per_hop=ratio_per_hop,
-                max_nodes_per_hop=max_nodes_per_hop,
-                batch_size=max(batch_size, 512),
-            )
-
     # --- large-graph route: host-native BFS for node sets ---
     # The device edge-list BFS costs O(B*E) gather per hop plus a TPU
     # scatter over E indices which XLA SERIALIZES — measured ~700 s for
@@ -673,6 +659,8 @@ def precompute_pos(
     # too high for that scatter behavior; past ~1e8 the host route wins and
     # the device keeps only assembly + operators. Orderings are identical,
     # so the produced dataset matches the device path bit-for-bit.
+    # (Decided BEFORE the sizing pass so the sizing can reuse the single
+    # whole-split khop pass below.)
     import os as _os_he
 
     _he_env = _os_he.environ.get("S3GRL_TPU_HOST_EXTRACT", "auto")
@@ -697,6 +685,46 @@ def precompute_pos(
             host_csr = (_rp, _ci)
         else:
             host_extract = False
+
+    # One whole-split khop pass (host route, non-local-tab): the BFS node
+    # prefix is independent of the cap (two-phase sorted-ring emit), so the
+    # [L, max_subgraph_nodes] table sliced to any bucket width equals a
+    # per-bucket khop call — and its size column doubles as the bucketing
+    # oracle. This replaces BOTH the separate bfs_sizes pass and every
+    # per-batch khop_nodes call; on BlogCatalog PoS (4096 links) those two
+    # were 3.1 s + 2.3 s of a 5.9 s total (measured r5, cProfile). Memory
+    # bound: the int32 table, capped at ~256 MB; above that the per-batch
+    # path streams as before.
+    nd_all = None
+    if (
+        host_extract
+        and _os_he.environ.get("S3GRL_TPU_LOCAL_TAB") != "1"
+        and L * max_subgraph_nodes <= 6.4e7
+    ):
+        from s3grl_tpu import native
+
+        nd_all, kh_sizes = native.khop_nodes(
+            host_csr[0], host_csr[1], links, num_hops, max_subgraph_nodes
+        )
+        if size_oracle is None:
+            # khop sizes are exact below the cap and >= cap when truncated
+            # (early-stop traversal) — pick_bucket clamps at the largest
+            # bucket either way.
+            size_oracle = np.minimum(kh_sizes, max_subgraph_nodes)
+
+    sizes = size_oracle
+    if sizes is None:
+        if rw_m and rw_M:
+            # rw subgraph size is bounded by the nodes 2*M walks can visit
+            bound = min(2 * rw_M * (rw_m + 1), dg.num_nodes, max_subgraph_nodes)
+            sizes = np.full(L, bound, dtype=np.int32)
+        else:
+            sizes = measure_subgraph_sizes(
+                dg, links, link_seeds, num_hops=num_hops,
+                ratio_per_hop=ratio_per_hop,
+                max_nodes_per_hop=max_nodes_per_hop,
+                batch_size=max(batch_size, 512),
+            )
 
     D_tab = int(dg.nbr.shape[1])
     F_feat = int(dg.x.shape[1]) + 1
@@ -882,10 +910,13 @@ def precompute_pos(
                     )
                 lb_nb = links[idx_sb]
                 if scan_host:
-                    nd, _sz = native.khop_nodes(
-                        host_csr[0], host_csr[1], lb_nb, num_hops,
-                        int(bucket),
-                    )
+                    if nd_all is not None:
+                        nd = nd_all[idx_sb][:, : int(bucket)]
+                    else:
+                        nd, _sz = native.khop_nodes(
+                            host_csr[0], host_csr[1], lb_nb, num_hops,
+                            int(bucket),
+                        )
                     hm = nd >= 0
                     xs_all, mask_all = _bucket_scan_operate(
                         dg,
@@ -960,6 +991,12 @@ def precompute_pos(
                         d_cap,
                     )
                     extra["host_local"] = jnp.asarray(loc[:, :, :d_pad])
+                elif nd_all is not None:
+                    nd = nd_all[idx][:, : int(bucket)]
+                    if bsz < bsz_cap:  # pad rows like lb above
+                        nd = np.concatenate(
+                            [nd, np.tile(nd[-1:], (bsz_cap - bsz, 1))]
+                        )
                 else:
                     nd, _sz = native.khop_nodes(
                         host_csr[0], host_csr[1], lb, num_hops, int(bucket)

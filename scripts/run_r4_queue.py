@@ -66,6 +66,10 @@ GROUPS = [
      "CiteSeer_SoP,Cora_SEAL,CiteSeer_SEAL,Cora_GCN_DE,CiteSeer_GCN_DE"),
     ("configs/paper/initrep.json", "results/paper/initrep.json",
      "Cora_PoS_GAE,Cora_PoS_GIC"),
+    # CCN truncation accuracy guard at protocol (VERDICT r4 next #8):
+    # Celegans union-strategy PoS+, full width vs hard cap 32, 10 seeds.
+    ("configs/guard/ccn_guard.json", "results/guard/ccn_guard.json",
+     "Celegans_CCN_Full,Celegans_CCN_Cap32"),
 ]
 
 GROUP_TIMEOUT = int(os.environ.get("R4_GROUP_TIMEOUT", 10800))
