@@ -696,6 +696,7 @@ def precompute_pos(
     # bound: the int32 table, capped at ~256 MB; above that the per-batch
     # path streams as before.
     nd_all = None
+    _kh_pipe = None  # (chunk bounds, executor, worker, first future)
     if (
         host_extract
         and _os_he.environ.get("S3GRL_TPU_LOCAL_TAB") != "1"
@@ -703,17 +704,49 @@ def precompute_pos(
     ):
         from s3grl_tpu import native
 
-        nd_all, kh_sizes = native.khop_nodes(
-            host_csr[0], host_csr[1], links, num_hops, max_subgraph_nodes
-        )
-        if size_oracle is None:
-            # khop sizes are exact below the cap and >= cap when truncated
-            # (early-stop traversal) — pick_bucket clamps at the largest
-            # bucket either way.
-            size_oracle = np.minimum(kh_sizes, max_subgraph_nodes)
+        _kh_ch = int(_os_he.environ.get("S3GRL_TPU_KHOP_CHUNK", "256"))
+        if size_oracle is None and L > _kh_ch and out_shardings is None:
+            # PIPELINED khop: the host BFS and the device dispatches are
+            # the two big sequential phases of large-graph PoS prep (1.84 s
+            # + ~2.0 s on BlogCatalog's 4096 links, measured r5). The
+            # ctypes call releases the GIL, so a 1-worker thread BFSes
+            # chunk i+1 while the main thread enqueues chunk i's device
+            # batches — total ~= max(bfs, device) instead of their sum.
+            # Rows land in the preallocated [L, S] table; the main thread
+            # only reads a chunk's rows after .result() on its future.
+            from concurrent.futures import ThreadPoolExecutor
+
+            nd_all = np.empty((L, max_subgraph_nodes), dtype=np.int32)
+            size_oracle = np.empty(L, dtype=np.int32)
+
+            def _kh_chunk(a: int, b: int) -> None:
+                nd_c, sz_c = native.khop_nodes(
+                    host_csr[0], host_csr[1], links[a:b], num_hops,
+                    max_subgraph_nodes,
+                )
+                nd_all[a:b] = nd_c
+                size_oracle[a:b] = np.minimum(sz_c, max_subgraph_nodes)
+
+            _kh_bounds = [
+                (a, min(a + _kh_ch, L)) for a in range(0, L, _kh_ch)
+            ]
+            _kh_ex = ThreadPoolExecutor(max_workers=1)
+            _kh_pipe = (_kh_bounds, _kh_ex, _kh_chunk,
+                        _kh_ex.submit(_kh_chunk, *_kh_bounds[0]))
+        else:
+            nd_all, kh_sizes = native.khop_nodes(
+                host_csr[0], host_csr[1], links, num_hops, max_subgraph_nodes
+            )
+            if size_oracle is None:
+                # khop sizes are exact below the cap and >= cap when
+                # truncated (early-stop traversal) — pick_bucket clamps at
+                # the largest bucket either way.
+                size_oracle = np.minimum(kh_sizes, max_subgraph_nodes)
 
     sizes = size_oracle
-    if sizes is None:
+    if _kh_pipe is not None:
+        pass  # sizes fill per khop chunk; bucketing happens per chunk below
+    elif sizes is None:
         if rw_m and rw_M:
             # rw subgraph size is bounded by the nodes 2*M walks can visit
             bound = min(2 * rw_M * (rw_m + 1), dg.num_nodes, max_subgraph_nodes)
@@ -751,7 +784,7 @@ def precompute_pos(
             bucket_s, d_eff, F_feat, sign_k=sign_k, out_rows=2 + eff_ccn
         )
 
-    order = np.argsort(sizes, kind="stable")
+    order = None if _kh_pipe is not None else np.argsort(sizes, kind="stable")
     F = int(dg.x.shape[1])
 
     # --- output placement (ADVICE r1: no unbounded device assembly) ---
@@ -821,219 +854,252 @@ def precompute_pos(
 
     # Links grouped by size bucket; per-bucket batch size bounded so the
     # [B, S, F] feature gather and [B, S, S] adjacency stay within budget.
-    ELEM_BUDGET = 192_000_000  # f32 elements (~768 MB) per transient tensor
-    bucket_of = np.array([pick_bucket(int(s), buckets) for s in sizes[order]])
-    for bucket in np.unique(bucket_of):
-        idx_all = order[bucket_of == bucket]
-        # Largest per-link transient: the [B, S, F] feature gather, the
-        # [B, S, S] adjacency, the [B, S, D] neighbor-table gathers used by
-        # assembly, or the [R, B, S, D] selector-propagation gather (counted
-        # at its true post-fix footprint; before the layout fix above, its
-        # 2-wide trailing dim also picked up a x64 tiling pad this budget
-        # never saw — VERDICT r2 #2).
-        per_link = max(
-            int(bucket) * (F + 1),
-            int(bucket) * int(bucket),
-            int(bucket) * D_tab * max(2, 2 + eff_ccn),
-        )
-        bsz_cap = max(8, min(batch_size, ELEM_BUDGET // per_link))
-        # round down to a power of two: bounds the number of distinct
-        # (batch, bucket) jit signatures (compile time matters on TPU)
-        bsz_cap = 1 << (bsz_cap.bit_length() - 1)
-        # Sharded driver (parallel/dist.py): every full batch must divide
-        # the mesh, or it silently falls to the single-device remainder
-        # path. Preferring parallelism over the transient budget here can
-        # exceed ELEM_BUDGET by at most batch_multiple/bsz_cap on monster
-        # buckets — bounded and visible, unlike lost sharding (ADVICE r3).
-        if batch_multiple > 1 and bsz_cap % batch_multiple != 0:
-            bsz_cap = max(bsz_cap, batch_multiple)
+    # f32 elements (~1 GB default) per transient tensor; env-tunable for
+    # workloads with HBM headroom (a larger budget doubles the pallas-route
+    # batch on monster buckets, halving dispatch+gather overhead).
+    ELEM_BUDGET = int(
+        float(_os_he.environ.get("S3GRL_TPU_ELEM_BUDGET", 256_000_000))
+    )
 
-        # --- one-dispatch-per-bucket scan route ---
-        # The remote-TPU tunnel charges ~30 ms of HOST time per jit call;
-        # at ~3 calls per batch the per-batch loop is dispatch-bound (~100
-        # ms/batch measured — BlogCatalog PoS plateaued at ~200 links/s
-        # with the staircase kernel because 128 batches of tunnel RTT, not
-        # compute, was the wall). Here the whole bucket runs as ONE device
-        # program: lax.scan over batch chunks, each scattering its rows
-        # into the DONATED output buffers (so peak memory stays dataset +
-        # one batch). Batch count pads to a power of two to bound jit
-        # signatures.
-        # Super-batch scan: process SB batch chunks per device program
-        # (lax.scan inside) instead of one — removes the ~100 ms/batch
-        # upload+dispatch tunnel tax (measured: BlogCatalog PoS 201 -> 825
-        # links/s) at a FIXED jit-signature count: every super-batch pads
-        # to exactly SB chunks, so compile count equals the per-batch
-        # path's one-per-bucket (a whole-bucket scan minted a signature
-        # per batch COUNT and spent 20+ min cold-compiling USAir's first
-        # seed). SB=8 amortizes the tunnel tax 8x; S3GRL_TPU_SCAN_SB=1
-        # recovers the old per-batch behavior.
-        # OPT-IN (S3GRL_TPU_SCAN_SB>1): A/B on the real chip measured the
-        # scan route HALVING the USAir headline (precompute 4229 -> 1391
-        # links/s; scan serialization + super-batch padding beat the
-        # upload savings there) while BlogCatalog/arxiv were indifferent
-        # (~1055 links/s both ways — their win came from the staircase
-        # kernel + warm-protocol fix, not the scan). Default stays the
-        # per-batch dispatch path.
-        scan_sb = int(_os_he.environ.get("S3GRL_TPU_SCAN_SB", "1"))
-        scan_base = (
-            extract_fn is _extract_and_operate
-            and not host_assemble
-            and out_shardings is None
-            and not (rw_m and rw_M)
-            and scan_sb > 1
+    def _dispatch_links(order_sub, xs_all, mask_all):
+        """Bucket-and-dispatch one subset of links (all of them in the
+        non-pipelined path; one khop chunk at a time when pipelined)."""
+        bucket_of = np.array(
+            [pick_bucket(int(s), buckets) for s in sizes[order_sub]]
         )
-        scan_host = (
-            scan_base
-            and host_extract
-            and _pallas_for_bucket(int(bucket))
-            and _os_he.environ.get("S3GRL_TPU_LOCAL_TAB") != "1"
-        )
-        scan_dev = scan_base and not host_extract
-        if scan_host or scan_dev:
-            from s3grl_tpu import native
+        for bucket in np.unique(bucket_of):
+            idx_all = order_sub[bucket_of == bucket]
+            # Largest per-link transient: the [B, S, F] feature gather, the
+            # [B, S, S] adjacency, the [B, S, D] neighbor-table gathers used by
+            # assembly, or the [R, B, S, D] selector-propagation gather (counted
+            # at its true post-fix footprint; before the layout fix above, its
+            # 2-wide trailing dim also picked up a x64 tiling pad this budget
+            # never saw — VERDICT r2 #2).
+            per_link = max(
+                int(bucket) * (F + 1),
+                int(bucket) * int(bucket),
+                int(bucket) * D_tab * max(2, 2 + eff_ccn),
+            )
+            bsz_cap = max(8, min(batch_size, ELEM_BUDGET // per_link))
+            # round down to a power of two: bounds the number of distinct
+            # (batch, bucket) jit signatures (compile time matters on TPU)
+            bsz_cap = 1 << (bsz_cap.bit_length() - 1)
+            # Sharded driver (parallel/dist.py): every full batch must divide
+            # the mesh, or it silently falls to the single-device remainder
+            # path. Preferring parallelism over the transient budget here can
+            # exceed ELEM_BUDGET by at most batch_multiple/bsz_cap on monster
+            # buckets — bounded and visible, unlike lost sharding (ADVICE r3).
+            if batch_multiple > 1 and bsz_cap % batch_multiple != 0:
+                bsz_cap = max(bsz_cap, batch_multiple)
 
-            # Adapt SB to the bucket: a 100-link bucket must not pad to
-            # 8*bsz links of duplicate compute. Power-of-two ladder keeps
-            # the signature set tiny ({1,2,4,8} worst case, usually one).
-            n_chunks = (len(idx_all) + bsz_cap - 1) // bsz_cap
-            eff_sb = min(scan_sb, n_chunks)
-            if eff_sb > 1:
-                eff_sb = 1 << (eff_sb - 1).bit_length()
-                eff_sb = min(eff_sb, scan_sb)
-            scan_sb = eff_sb
-            sb_links = scan_sb * bsz_cap
-            for start in range(0, len(idx_all), sb_links):
-                idx_sb = idx_all[start : start + sb_links]
-                if len(idx_sb) < sb_links:  # pad to the static SB shape
-                    idx_sb = np.concatenate(
-                        [idx_sb, np.tile(idx_sb[-1:], sb_links - len(idx_sb))]
-                    )
-                lb_nb = links[idx_sb]
-                if scan_host:
-                    if nd_all is not None:
-                        nd = nd_all[idx_sb][:, : int(bucket)]
-                    else:
-                        nd, _sz = native.khop_nodes(
-                            host_csr[0], host_csr[1], lb_nb, num_hops,
-                            int(bucket),
-                        )
-                    hm = nd >= 0
-                    xs_all, mask_all = _bucket_scan_operate(
-                        dg,
-                        xs_all,
-                        mask_all,
-                        jnp.asarray(idx_sb.reshape(scan_sb, bsz_cap)),
-                        jnp.asarray(lb_nb.reshape(scan_sb, bsz_cap, 2)),
-                        jnp.asarray(
-                            np.where(hm, nd, 0)
-                            .reshape(scan_sb, bsz_cap, -1)
-                        ),
-                        jnp.asarray(hm.reshape(scan_sb, bsz_cap, -1)),
-                        sign_k=sign_k,
-                        max_ccn=eff_ccn,
-                        strategy=k_node_set_strategy,
-                    )
-                else:
-                    xs_all, mask_all = _bucket_scan_extract_operate(
-                        dg,
-                        xs_all,
-                        mask_all,
-                        jnp.asarray(idx_sb.reshape(scan_sb, bsz_cap)),
-                        jnp.asarray(lb_nb.reshape(scan_sb, bsz_cap, 2)),
-                        jnp.asarray(
-                            link_seeds[idx_sb].reshape(scan_sb, bsz_cap)
-                        ),
-                        num_hops=num_hops,
-                        max_nodes=int(bucket),
-                        ratio_per_hop=ratio_per_hop,
-                        max_nodes_per_hop=max_nodes_per_hop,
-                        sign_k=sign_k,
-                        max_ccn=eff_ccn,
-                        strategy=k_node_set_strategy,
-                        use_pallas=_pallas_for_bucket(int(bucket)),
-                    )
-            continue
-
-        for start in range(0, len(idx_all), bsz_cap):
-            idx = idx_all[start : start + bsz_cap]
-            bsz = len(idx)
-            lb = links[idx]
-            ls = link_seeds[idx]
-            if bsz < bsz_cap:  # pad batch to static size
-                lb = np.concatenate([lb, np.tile(lb[-1:], (bsz_cap - bsz, 1))])
-                ls = np.concatenate([ls, np.tile(ls[-1:], bsz_cap - bsz)])
-            extra = {}
-            if host_extract:
+            # --- one-dispatch-per-bucket scan route ---
+            # The remote-TPU tunnel charges ~30 ms of HOST time per jit call;
+            # at ~3 calls per batch the per-batch loop is dispatch-bound (~100
+            # ms/batch measured — BlogCatalog PoS plateaued at ~200 links/s
+            # with the staircase kernel because 128 batches of tunnel RTT, not
+            # compute, was the wall). Here the whole bucket runs as ONE device
+            # program: lax.scan over batch chunks, each scattering its rows
+            # into the DONATED output buffers (so peak memory stays dataset +
+            # one batch). Batch count pads to a power of two to bound jit
+            # signatures.
+            # Super-batch scan: process SB batch chunks per device program
+            # (lax.scan inside) instead of one — removes the ~100 ms/batch
+            # upload+dispatch tunnel tax (measured: BlogCatalog PoS 201 -> 825
+            # links/s) at a FIXED jit-signature count: every super-batch pads
+            # to exactly SB chunks, so compile count equals the per-batch
+            # path's one-per-bucket (a whole-bucket scan minted a signature
+            # per batch COUNT and spent 20+ min cold-compiling USAir's first
+            # seed). SB=8 amortizes the tunnel tax 8x; S3GRL_TPU_SCAN_SB=1
+            # recovers the old per-batch behavior.
+            # OPT-IN (S3GRL_TPU_SCAN_SB>1): A/B on the real chip measured the
+            # scan route HALVING the USAir headline (precompute 4229 -> 1391
+            # links/s; scan serialization + super-batch padding beat the
+            # upload savings there) while BlogCatalog/arxiv were indifferent
+            # (~1055 links/s both ways — their win came from the staircase
+            # kernel + warm-protocol fix, not the scan). Default stays the
+            # per-batch dispatch path.
+            scan_sb = int(_os_he.environ.get("S3GRL_TPU_SCAN_SB", "1"))
+            scan_base = (
+                extract_fn is _extract_and_operate
+                and not host_assemble
+                and out_shardings is None
+                and not (rw_m and rw_M)
+                and scan_sb > 1
+            )
+            scan_host = (
+                scan_base
+                and host_extract
+                and _pallas_for_bucket(int(bucket))
+                and _os_he.environ.get("S3GRL_TPU_LOCAL_TAB") != "1"
+            )
+            scan_dev = scan_base and not host_extract
+            if scan_host or scan_dev:
                 from s3grl_tpu import native
 
-                # Subgraph-local tables are OPT-IN (S3GRL_TPU_LOCAL_TAB=1):
-                # measured on the real chip, the width cut they promise
-                # does not materialize on either workload class — on
-                # hub-dense graphs (BlogCatalog) the local degree ~= S
-                # (mdeg mean 759 / max 1021 at S=1024, vs global 3424) so
-                # the per-batch int16 H2D (+ extra d_pad jit signatures at
-                # minutes per Mosaic compile over the tunnel) regressed
-                # PoS 161 -> 30 links/s, and on the attributed paper
-                # datasets the GLOBAL max degree is already tiny (Cora
-                # 168, CiteSeer 99) so densify is not the bottleneck. The
-                # path stays correct + bit-exact-tested for narrow-local
-                # regimes that need it.
-                if (_os_he.environ.get("S3GRL_TPU_LOCAL_TAB") == "1"
-                        and _pallas_for_bucket(int(bucket))):
-                    d_cap = min(int(bucket), D_tab)
-                    nd, _sz, loc, mdeg = native.khop_local_tab(
-                        host_csr[0], host_csr[1], lb, num_hops,
-                        int(bucket), d_cap,
-                    )
-                    d_pad = _sticky_dpad(
-                        (int(dg.num_nodes), int(bucket)),
-                        int(mdeg.max()) if len(mdeg) else 1,
-                        d_cap,
-                    )
-                    extra["host_local"] = jnp.asarray(loc[:, :, :d_pad])
-                elif nd_all is not None:
-                    nd = nd_all[idx][:, : int(bucket)]
-                    if bsz < bsz_cap:  # pad rows like lb above
-                        nd = np.concatenate(
-                            [nd, np.tile(nd[-1:], (bsz_cap - bsz, 1))]
+                # Adapt SB to the bucket: a 100-link bucket must not pad to
+                # 8*bsz links of duplicate compute. Power-of-two ladder keeps
+                # the signature set tiny ({1,2,4,8} worst case, usually one).
+                n_chunks = (len(idx_all) + bsz_cap - 1) // bsz_cap
+                eff_sb = min(scan_sb, n_chunks)
+                if eff_sb > 1:
+                    eff_sb = 1 << (eff_sb - 1).bit_length()
+                    eff_sb = min(eff_sb, scan_sb)
+                scan_sb = eff_sb
+                sb_links = scan_sb * bsz_cap
+                for start in range(0, len(idx_all), sb_links):
+                    idx_sb = idx_all[start : start + sb_links]
+                    if len(idx_sb) < sb_links:  # pad to the static SB shape
+                        idx_sb = np.concatenate(
+                            [idx_sb, np.tile(idx_sb[-1:], sb_links - len(idx_sb))]
                         )
-                else:
-                    nd, _sz = native.khop_nodes(
-                        host_csr[0], host_csr[1], lb, num_hops, int(bucket)
+                    lb_nb = links[idx_sb]
+                    if scan_host:
+                        if nd_all is not None:
+                            nd = nd_all[idx_sb][:, : int(bucket)]
+                        else:
+                            nd, _sz = native.khop_nodes(
+                                host_csr[0], host_csr[1], lb_nb, num_hops,
+                                int(bucket),
+                            )
+                        hm = nd >= 0
+                        xs_all, mask_all = _bucket_scan_operate(
+                            dg,
+                            xs_all,
+                            mask_all,
+                            jnp.asarray(idx_sb.reshape(scan_sb, bsz_cap)),
+                            jnp.asarray(lb_nb.reshape(scan_sb, bsz_cap, 2)),
+                            jnp.asarray(
+                                np.where(hm, nd, 0)
+                                .reshape(scan_sb, bsz_cap, -1)
+                            ),
+                            jnp.asarray(hm.reshape(scan_sb, bsz_cap, -1)),
+                            sign_k=sign_k,
+                            max_ccn=eff_ccn,
+                            strategy=k_node_set_strategy,
+                        )
+                    else:
+                        xs_all, mask_all = _bucket_scan_extract_operate(
+                            dg,
+                            xs_all,
+                            mask_all,
+                            jnp.asarray(idx_sb.reshape(scan_sb, bsz_cap)),
+                            jnp.asarray(lb_nb.reshape(scan_sb, bsz_cap, 2)),
+                            jnp.asarray(
+                                link_seeds[idx_sb].reshape(scan_sb, bsz_cap)
+                            ),
+                            num_hops=num_hops,
+                            max_nodes=int(bucket),
+                            ratio_per_hop=ratio_per_hop,
+                            max_nodes_per_hop=max_nodes_per_hop,
+                            sign_k=sign_k,
+                            max_ccn=eff_ccn,
+                            strategy=k_node_set_strategy,
+                            use_pallas=_pallas_for_bucket(int(bucket)),
+                        )
+                continue
+
+            for start in range(0, len(idx_all), bsz_cap):
+                idx = idx_all[start : start + bsz_cap]
+                bsz = len(idx)
+                lb = links[idx]
+                ls = link_seeds[idx]
+                if bsz < bsz_cap:  # pad batch to static size
+                    lb = np.concatenate([lb, np.tile(lb[-1:], (bsz_cap - bsz, 1))])
+                    ls = np.concatenate([ls, np.tile(ls[-1:], bsz_cap - bsz)])
+                extra = {}
+                if host_extract:
+                    from s3grl_tpu import native
+
+                    # Subgraph-local tables are OPT-IN (S3GRL_TPU_LOCAL_TAB=1):
+                    # measured on the real chip, the width cut they promise
+                    # does not materialize on either workload class — on
+                    # hub-dense graphs (BlogCatalog) the local degree ~= S
+                    # (mdeg mean 759 / max 1021 at S=1024, vs global 3424) so
+                    # the per-batch int16 H2D (+ extra d_pad jit signatures at
+                    # minutes per Mosaic compile over the tunnel) regressed
+                    # PoS 161 -> 30 links/s, and on the attributed paper
+                    # datasets the GLOBAL max degree is already tiny (Cora
+                    # 168, CiteSeer 99) so densify is not the bottleneck. The
+                    # path stays correct + bit-exact-tested for narrow-local
+                    # regimes that need it.
+                    if (_os_he.environ.get("S3GRL_TPU_LOCAL_TAB") == "1"
+                            and _pallas_for_bucket(int(bucket))):
+                        d_cap = min(int(bucket), D_tab)
+                        nd, _sz, loc, mdeg = native.khop_local_tab(
+                            host_csr[0], host_csr[1], lb, num_hops,
+                            int(bucket), d_cap,
+                        )
+                        d_pad = _sticky_dpad(
+                            (int(dg.num_nodes), int(bucket)),
+                            int(mdeg.max()) if len(mdeg) else 1,
+                            d_cap,
+                        )
+                        extra["host_local"] = jnp.asarray(loc[:, :, :d_pad])
+                    elif nd_all is not None:
+                        nd = nd_all[idx][:, : int(bucket)]
+                        if bsz < bsz_cap:  # pad rows like lb above
+                            nd = np.concatenate(
+                                [nd, np.tile(nd[-1:], (bsz_cap - bsz, 1))]
+                            )
+                    else:
+                        nd, _sz = native.khop_nodes(
+                            host_csr[0], host_csr[1], lb, num_hops, int(bucket)
+                        )
+                    hm = nd >= 0
+                    extra["host_nodes"] = (
+                        jnp.asarray(np.where(hm, nd, 0)),
+                        jnp.asarray(hm),
                     )
-                hm = nd >= 0
-                extra["host_nodes"] = (
-                    jnp.asarray(np.where(hm, nd, 0)),
-                    jnp.asarray(hm),
+                xs, row_mask = extract_fn(
+                    dg,
+                    jnp.asarray(lb),
+                    jnp.asarray(ls),
+                    num_hops=num_hops,
+                    max_nodes=int(bucket),
+                    ratio_per_hop=ratio_per_hop,
+                    max_nodes_per_hop=max_nodes_per_hop,
+                    sign_k=sign_k,
+                    max_ccn=eff_ccn,
+                    strategy=k_node_set_strategy,
+                    rw_m=rw_m,
+                    rw_M=rw_M,
+                    use_pallas=_pallas_for_bucket(int(bucket)),
+                    **extra,
                 )
-            xs, row_mask = extract_fn(
-                dg,
-                jnp.asarray(lb),
-                jnp.asarray(ls),
-                num_hops=num_hops,
-                max_nodes=int(bucket),
-                ratio_per_hop=ratio_per_hop,
-                max_nodes_per_hop=max_nodes_per_hop,
-                sign_k=sign_k,
-                max_ccn=eff_ccn,
-                strategy=k_node_set_strategy,
-                rw_m=rw_m,
-                rw_M=rw_M,
-                use_pallas=_pallas_for_bucket(int(bucket)),
-                **extra,
-            )
-            if bsz < xs.shape[0]:
-                xs, row_mask = xs[:bsz], row_mask[:bsz]
-            if host_assemble:
-                xs_all[idx] = np.asarray(xs)
-                mask_all[idx] = np.asarray(row_mask)
-            else:
-                # Donated scatter: the output buffer is updated IN PLACE, so
-                # peak device memory is (dataset + one batch), never 2-3x the
-                # dataset as concat+gather assembly was.
-                xs_all, mask_all = _scatter_assemble(
-                    xs_all, mask_all, jnp.asarray(idx), xs, row_mask
-                )
+                if bsz < xs.shape[0]:
+                    xs, row_mask = xs[:bsz], row_mask[:bsz]
+                if host_assemble:
+                    xs_all[idx] = np.asarray(xs)
+                    mask_all[idx] = np.asarray(row_mask)
+                else:
+                    # Donated scatter: the output buffer is updated IN PLACE, so
+                    # peak device memory is (dataset + one batch), never 2-3x the
+                    # dataset as concat+gather assembly was.
+                    xs_all, mask_all = _scatter_assemble(
+                        xs_all, mask_all, jnp.asarray(idx), xs, row_mask
+                    )
+        return xs_all, mask_all
+
+    if _kh_pipe is not None:
+        # Drive the khop/dispatch pipeline: chunk i dispatches while the
+        # worker thread BFSes chunk i+1 (links are bucketed per chunk;
+        # batch shapes are unchanged, so no new jit signatures).
+        _kh_bounds, _kh_ex, _kh_worker, _kh_fut = _kh_pipe
+        try:
+            for _ci, (_a, _b) in enumerate(_kh_bounds):
+                _kh_fut.result()
+                if _ci + 1 < len(_kh_bounds):
+                    _kh_fut = _kh_ex.submit(
+                        _kh_worker, *_kh_bounds[_ci + 1]
+                    )
+                _sub = np.arange(_a, _b)[
+                    np.argsort(sizes[_a:_b], kind="stable")
+                ]
+                xs_all, mask_all = _dispatch_links(_sub, xs_all, mask_all)
+        finally:
+            _kh_ex.shutdown(wait=True)
+    else:
+        xs_all, mask_all = _dispatch_links(order, xs_all, mask_all)
 
     return OperatorDataset(
         xs=xs_all, row_mask=mask_all, y=np.asarray(y, dtype=np.float32)
