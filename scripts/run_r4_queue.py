@@ -42,9 +42,11 @@ T2 = "configs/paper/table_2.json"
 # Environment-blocked (markers in results/paper/*_blocked.json):
 #  - Pubmed_*: /root/reference/data/pubmed/raw lacks ind.pubmed.allx and
 #    the reference's Planetoid loader would download it (zero egress);
-#  - Chameleon/Texas/Cornell/Wisconsin_*: no geom-gcn raw data anywhere
-#    under /root/reference/data — the reference's WebKB/WikipediaNetwork
-#    loaders download from github (zero egress). Verified 2026-08-21.
+#  - Chameleon_*: Software/WalkPooling/data/new_data/chameleon has the
+#    edge file but NOT out1_node_feature_label.txt, and the table_2 rows
+#    need use_feature=true (the reference downloads it; zero egress).
+# Texas/Cornell/Wisconsin raw data IS present under
+# Software/WalkPooling/data/new_data and those rows run.
 GROUPS = [
     (T2, "results/paper/table2.json",
      "USAir_SEAL,Celegans_SEAL,Power_SEAL,USAir_GCN_DE,Celegans_GCN_DE,"
@@ -55,6 +57,9 @@ GROUPS = [
      "NS_GCN_DE,Router_GCN_DE,PB_GCN_DE,Ecoli_GCN_DE,Yeast_GCN_DE"),
     (T2, "results/paper/table2.json",
      "Cora_SEAL,CiteSeer_SEAL,Cora_GCN_DE,CiteSeer_GCN_DE"),
+    (T2, "results/paper/table2.json",
+     "Texas_SEAL,Cornell_SEAL,Wisconsin_SEAL,Texas_GCN_DE,Cornell_GCN_DE,"
+     "Wisconsin_GCN_DE"),
     ("configs/paper/scaled.json", "results/scaled/scaled.json",
      "Cora_PoS,Cora_PoS_ScaLed,Cora_PoS_Plus,Cora_PoS_Plus_ScaLed,"
      "CiteSeer_PoS,CiteSeer_PoS_ScaLed,CiteSeer_PoS_Plus,"
@@ -63,7 +68,11 @@ GROUPS = [
      None),  # None = whole suite (single-run timing rows)
     ("configs/paper/profiling_attr.json", "results/paper/profiling_attr.json",
      "Cora_PoS,CiteSeer_PoS,Cora_PoS_Plus,CiteSeer_PoS_Plus,Cora_SoP,"
-     "CiteSeer_SoP,Cora_SEAL,CiteSeer_SEAL,Cora_GCN_DE,CiteSeer_GCN_DE"),
+     "CiteSeer_SoP,Cora_SEAL,CiteSeer_SEAL,Cora_GCN_DE,CiteSeer_GCN_DE,"
+     "Texas_PoS,Cornell_PoS,Wisconsin_PoS,Texas_PoS_Plus,Cornell_PoS_Plus,"
+     "Wisconsin_PoS_Plus,Texas_SoP,Cornell_SoP,Wisconsin_SoP,Texas_SEAL,"
+     "Cornell_SEAL,Wisconsin_SEAL,Texas_GCN_DE,Cornell_GCN_DE,"
+     "Wisconsin_GCN_DE"),
     ("configs/paper/initrep.json", "results/paper/initrep.json",
      "Cora_PoS_GAE,Cora_PoS_GIC"),
     # CCN truncation accuracy guard at protocol (VERDICT r4 next #8):
