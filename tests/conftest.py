@@ -9,7 +9,14 @@ experimental 'axon' TPU plugin wins); jax.config.update must be called too.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Assignment, NOT setdefault: this image exports JAX_PLATFORMS=axon
+# globally, and s3grl_tpu's package import makes the ENV authoritative
+# (_honor_platform_env re-applies it over any jax.config.update). With the
+# env left at "axon", importing the package mid-suite flipped the config
+# back, chip_is_contended() saw an axon selection, and a CPU-only test
+# took (or queued on) the real chip's flock behind the accuracy queue —
+# the r5 full-suite hang, twice.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
