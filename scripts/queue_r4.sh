@@ -9,10 +9,10 @@ set -u
 cd /root/repo
 STALE="${STALE_SECS:-2400}"
 LOG=logs/queue_r4_runs.log
-mkdir -p results/paper results/scaled logs
+mkdir -p results/paper results/scaled results/guard logs
 
 commit_results() {
-  git add results/paper results/scaled "$LOG" 2>/dev/null
+  git add results/paper results/scaled results/guard "$LOG" 2>/dev/null
   if ! git diff --cached --quiet; then
     git commit -q -m "results: queue checkpoint $(date +%H:%M)" \
       2>/dev/null || true

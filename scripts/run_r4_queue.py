@@ -47,23 +47,22 @@ T2 = "configs/paper/table_2.json"
 #    need use_feature=true (the reference downloads it; zero egress).
 # Texas/Cornell/Wisconsin raw data IS present under
 # Software/WalkPooling/data/new_data and those rows run.
+# Round-5 reshuffle: the session reset at ~11:00 lost ~2h of queue time,
+# so the CHEAP, fully-completable suites run first (ScaLed — "fourth and
+# final time of asking", init-rep, CCN guard, both profiling grids), and
+# the expensive remaining table_2 SEAL/GCN_DE rows grind last under
+# seed-granular resume: whatever lands, lands, and small datasets lead.
 GROUPS = [
-    (T2, "results/paper/table2.json",
-     "USAir_SEAL,Celegans_SEAL,Power_SEAL,USAir_GCN_DE,Celegans_GCN_DE,"
-     "Power_GCN_DE"),
-    (T2, "results/paper/table2.json",
-     "NS_SEAL,Router_SEAL,PB_SEAL,Ecoli_SEAL,Yeast_SEAL"),
-    (T2, "results/paper/table2.json",
-     "NS_GCN_DE,Router_GCN_DE,PB_GCN_DE,Ecoli_GCN_DE,Yeast_GCN_DE"),
-    (T2, "results/paper/table2.json",
-     "Cora_SEAL,CiteSeer_SEAL,Cora_GCN_DE,CiteSeer_GCN_DE"),
-    (T2, "results/paper/table2.json",
-     "Texas_SEAL,Cornell_SEAL,Wisconsin_SEAL,Texas_GCN_DE,Cornell_GCN_DE,"
-     "Wisconsin_GCN_DE"),
     ("configs/paper/scaled.json", "results/scaled/scaled.json",
      "Cora_PoS,Cora_PoS_ScaLed,Cora_PoS_Plus,Cora_PoS_Plus_ScaLed,"
      "CiteSeer_PoS,CiteSeer_PoS_ScaLed,CiteSeer_PoS_Plus,"
      "CiteSeer_PoS_Plus_ScaLed"),
+    ("configs/paper/initrep.json", "results/paper/initrep.json",
+     "Cora_PoS_GAE,Cora_PoS_GIC"),
+    # CCN truncation accuracy guard at protocol (VERDICT r4 next #8):
+    # Celegans union-strategy PoS+, full width vs hard cap 32, 10 seeds.
+    ("configs/guard/ccn_guard.json", "results/guard/ccn_guard.json",
+     "Celegans_CCN_Full,Celegans_CCN_Cap32"),
     ("configs/paper/profiling_non.json", "results/paper/profiling_non.json",
      None),  # None = whole suite (single-run timing rows)
     ("configs/paper/profiling_attr.json", "results/paper/profiling_attr.json",
@@ -73,12 +72,18 @@ GROUPS = [
      "Wisconsin_PoS_Plus,Texas_SoP,Cornell_SoP,Wisconsin_SoP,Texas_SEAL,"
      "Cornell_SEAL,Wisconsin_SEAL,Texas_GCN_DE,Cornell_GCN_DE,"
      "Wisconsin_GCN_DE"),
-    ("configs/paper/initrep.json", "results/paper/initrep.json",
-     "Cora_PoS_GAE,Cora_PoS_GIC"),
-    # CCN truncation accuracy guard at protocol (VERDICT r4 next #8):
-    # Celegans union-strategy PoS+, full width vs hard cap 32, 10 seeds.
-    ("configs/guard/ccn_guard.json", "results/guard/ccn_guard.json",
-     "Celegans_CCN_Full,Celegans_CCN_Cap32"),
+    (T2, "results/paper/table2.json",
+     "Texas_SEAL,Cornell_SEAL,Wisconsin_SEAL,Texas_GCN_DE,Cornell_GCN_DE,"
+     "Wisconsin_GCN_DE"),
+    (T2, "results/paper/table2.json",
+     "USAir_SEAL,Celegans_SEAL,Power_SEAL,USAir_GCN_DE,Celegans_GCN_DE,"
+     "Power_GCN_DE"),
+    (T2, "results/paper/table2.json",
+     "NS_GCN_DE,Router_GCN_DE,Yeast_GCN_DE,PB_GCN_DE,Ecoli_GCN_DE"),
+    (T2, "results/paper/table2.json",
+     "Cora_SEAL,CiteSeer_SEAL,Cora_GCN_DE,CiteSeer_GCN_DE"),
+    (T2, "results/paper/table2.json",
+     "NS_SEAL,Router_SEAL,Yeast_SEAL,PB_SEAL,Ecoli_SEAL"),
 ]
 
 GROUP_TIMEOUT = int(os.environ.get("R4_GROUP_TIMEOUT", 10800))
