@@ -31,9 +31,18 @@ HEADER = (
 )
 
 
+# Suites whose identifiers intentionally REUSE auc_s3grl ids (byte-parity
+# with the reference corpus): merging them into the main AUC table would
+# overwrite 10-seed accuracy rows with 1-run timing rows. They get their
+# own BASELINE.md sections (scripts/render_r5_sections.py).
+EXCLUDE = ("profiling_attr", "profiling_non", "table2")
+
+
 def collect(results_dir: str) -> dict:
     merged: dict = {}
     for path in sorted(glob.glob(os.path.join(results_dir, "*.json"))):
+        if os.path.basename(path).startswith(EXCLUDE):
+            continue
         with open(path) as f:
             data = json.load(f)
         for identifier, payload in data.items():
