@@ -63,6 +63,12 @@ GROUPS = [
     # Celegans union-strategy PoS+, full width vs hard cap 32, 10 seeds.
     ("configs/guard/ccn_guard.json", "results/guard/ccn_guard.json",
      "Celegans_CCN_Full,Celegans_CCN_Cap32"),
+    # Cheapest table_2 group promoted above the profiling grids: 6 rows on
+    # the tiny WebKB graphs prove the attributed SEAL + GCN_DE paths and
+    # the geom-gcn loader at protocol in well under an hour.
+    (T2, "results/paper/table2.json",
+     "Texas_SEAL,Cornell_SEAL,Wisconsin_SEAL,Texas_GCN_DE,Cornell_GCN_DE,"
+     "Wisconsin_GCN_DE"),
     ("configs/paper/profiling_non.json", "results/paper/profiling_non.json",
      None),  # None = whole suite (single-run timing rows)
     ("configs/paper/profiling_attr.json", "results/paper/profiling_attr.json",
@@ -71,9 +77,6 @@ GROUPS = [
      "Texas_PoS,Cornell_PoS,Wisconsin_PoS,Texas_PoS_Plus,Cornell_PoS_Plus,"
      "Wisconsin_PoS_Plus,Texas_SoP,Cornell_SoP,Wisconsin_SoP,Texas_SEAL,"
      "Cornell_SEAL,Wisconsin_SEAL,Texas_GCN_DE,Cornell_GCN_DE,"
-     "Wisconsin_GCN_DE"),
-    (T2, "results/paper/table2.json",
-     "Texas_SEAL,Cornell_SEAL,Wisconsin_SEAL,Texas_GCN_DE,Cornell_GCN_DE,"
      "Wisconsin_GCN_DE"),
     (T2, "results/paper/table2.json",
      "USAir_SEAL,Celegans_SEAL,Power_SEAL,USAir_GCN_DE,Celegans_GCN_DE,"
