@@ -367,7 +367,17 @@ def pos_operators_global(
         ccn = ccn.at[:, :2].set(False)
         slot = jnp.arange(S, dtype=jnp.int32)
         key = jnp.where(ccn, slot[None, :], S + 1)
-        neg, idx = jax.lax.top_k(-key, max_ccn)
+        # Same clamp+pad as pos_operators: top_k rejects k > axis size,
+        # so a full-width dataset max_ccn larger than this bucket's S
+        # (e.g. the CCN guard's uncapped Celegans width 256 vs the S=32
+        # bucket) runs at min(max_ccn, S) and pads invalid columns up to
+        # the static dataset width.
+        k_eff = min(max_ccn, S)
+        neg, idx = jax.lax.top_k(-key, k_eff)
+        if k_eff < max_ccn:
+            pad = max_ccn - k_eff
+            neg = jnp.pad(neg, ((0, 0), (0, pad)), constant_values=-(S + 1))
+            idx = jnp.pad(idx, ((0, 0), (0, pad)))
         ccn_valid = (-neg) <= S
         sel_idx = sel_idx.at[:, 2:].set(
             jnp.where(ccn_valid, idx.astype(jnp.int32), 0)

@@ -214,3 +214,21 @@ def test_vmem_ok_admits_large_graph_buckets():
     assert vmem_ok(1024, 448, 1025)     # arxiv bucket (wide features)
     assert vmem_ok(512, 160, 1434)      # Cora attributed bucket
     assert not vmem_ok(2048, 8192, 128)  # blows VMEM: ~290 MB streamed
+
+
+def test_ccn_width_larger_than_bucket_clamps():
+    """Full-width CCN (max_ccn > bucket S) must clamp top_k to the bucket
+    size and pad invalid columns — the CCN-guard Celegans_CCN_Full config
+    crashed pos_operators_global with k=256 on the S=32 bucket (r5)."""
+    rng = np.random.default_rng(11)
+    g = _graph(rng)
+    dg = DeviceGraph.from_graph(g)
+    links = rng.integers(0, g.num_nodes, (12, 2)).astype(np.int32)
+    y = rng.integers(0, 2, 12).astype(np.float32)
+    kw = dict(num_hops=2, sign_k=2, buckets=(32, 64, 128), batch_size=8,
+              max_subgraph_nodes=128, seed=3, k_heuristic=1,
+              k_node_set_strategy="union", max_ccn=200)
+    a = precompute_pos(dg, links, y, use_pallas=False, **kw)
+    b = precompute_pos(dg, links, y, use_pallas=True, **kw)
+    np.testing.assert_array_equal(a.row_mask, b.row_mask)
+    np.testing.assert_allclose(a.xs, b.xs, rtol=2e-3, atol=2e-4)
