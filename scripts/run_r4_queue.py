@@ -69,6 +69,18 @@ GROUPS = [
     (T2, "results/paper/table2.json",
      "Texas_SEAL,Cornell_SEAL,Wisconsin_SEAL,Texas_GCN_DE,Cornell_GCN_DE,"
      "Wisconsin_GCN_DE"),
+    # The cheap SIGN-family profiling rows first (tiny graphs, 1 run each):
+    # they replace the 9 all-n/a attr-small timing cells (VERDICT r4 weak
+    # #6) in minutes; the slower SEAL/GCN_DE profiling rows ride in the
+    # full groups below.
+    ("configs/paper/profiling_attr.json", "results/paper/profiling_attr.json",
+     "Texas_PoS,Cornell_PoS,Wisconsin_PoS,Texas_PoS_Plus,Cornell_PoS_Plus,"
+     "Wisconsin_PoS_Plus,Texas_SoP,Cornell_SoP,Wisconsin_SoP,Cora_PoS,"
+     "CiteSeer_PoS,Cora_PoS_Plus,CiteSeer_PoS_Plus,Cora_SoP,CiteSeer_SoP"),
+    ("configs/paper/profiling_non.json", "results/paper/profiling_non.json",
+     "NS_PoS,Power_PoS,Yeast_PoS,Ecoli_PoS,PB_PoS,NS_PoS_Plus,"
+     "Power_PoS_Plus,Yeast_PoS_Plus,Ecoli_PoS_Plus,PB_PoS_Plus,NS_SoP,"
+     "Power_SoP,Yeast_SoP,Ecoli_SoP,PB_SoP"),
     ("configs/paper/profiling_non.json", "results/paper/profiling_non.json",
      None),  # None = whole suite (single-run timing rows)
     ("configs/paper/profiling_attr.json", "results/paper/profiling_attr.json",
